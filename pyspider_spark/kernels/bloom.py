@@ -1,0 +1,77 @@
+"""Numpy-backed bloom filter for the partitioned URL-seen set (SURVEY
+§2.3 J2, §4.3.1).
+
+Replaces the reference's per-task point lookup
+(``pyspider/scheduler/scheduler.py — _check_request() →
+taskdb.get_task`` dedup) with a vectorized membership probe: one bloom
+blob per ``bucket(host)`` partition, loaded/updated inside
+``applyInPandas`` co-partitioned with the frontier.
+
+Keys are taskids (md5 hex of canon_url — F1), so the two independent
+64-bit hashes needed for double hashing are sliced straight out of the
+md5 digest: h_i = h1 + i*h2 + i² (Kirsch–Mitzenmacher), all mod m.
+Deterministic across runs/partitions by construction (no PYTHONHASHSEED
+dependence). No false negatives; FPR governed by (m, k) from config.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _hash_pair(taskids: "list[str] | np.ndarray") -> np.ndarray:
+    """(n,2) uint64 array of (h1,h2) sliced from md5-hex taskids."""
+    if len(taskids) == 0:
+        return np.empty((0, 2), dtype=np.uint64)
+    blob = bytes.fromhex("".join(taskids))
+    return np.frombuffer(blob, dtype=">u8").reshape(-1, 2).astype(np.uint64)
+
+
+class BloomFilter:
+    __slots__ = ("m", "k", "bits")
+
+    def __init__(self, m_bits: int, k: int, bits: np.ndarray | None = None):
+        if m_bits % 8:
+            raise ValueError("m_bits must be a multiple of 8")
+        self.m = m_bits
+        self.k = k
+        self.bits = bits if bits is not None else np.zeros(m_bits // 8, dtype=np.uint8)
+
+    def _positions(self, taskids) -> np.ndarray:
+        """(n,k) bit positions."""
+        hp = _hash_pair(taskids)
+        i = np.arange(self.k, dtype=np.uint64)
+        # h1 + i*h2 + i*i  (mod 2^64 wraps are fine — uniform)
+        with np.errstate(over="ignore"):
+            pos = hp[:, 0:1] + i[None, :] * hp[:, 1:2] + i[None, :] * i[None, :]
+        return (pos % np.uint64(self.m)).astype(np.int64)
+
+    def add_many(self, taskids) -> None:
+        if len(taskids) == 0:
+            return
+        pos = self._positions(taskids).ravel()
+        np.bitwise_or.at(self.bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+
+    def contains_many(self, taskids) -> np.ndarray:
+        """bool array; False is definitive (no false negatives)."""
+        if len(taskids) == 0:
+            return np.zeros(0, dtype=bool)
+        pos = self._positions(taskids)
+        got = (self.bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+        return got.all(axis=1)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        if (self.m, self.k) != (other.m, other.k):
+            raise ValueError("incompatible bloom parameters")
+        return BloomFilter(self.m, self.k, np.bitwise_or(self.bits, other.bits))
+
+    # --- serialization (state blobs in the seen_state table) -----------
+    def to_bytes(self) -> bytes:
+        header = np.array([self.m, self.k], dtype="<u8").tobytes()
+        return header + self.bits.tobytes()
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "BloomFilter":
+        m, k = np.frombuffer(blob[:16], dtype="<u8")
+        bits = np.frombuffer(blob[16:], dtype=np.uint8).copy()
+        return cls(int(m), int(k), bits)
