@@ -9,33 +9,41 @@ produce the **same per-(round, host) fetch order and the same final
 URL-seen membership** on the fixture crawl — that equivalence check is
 the crawl-order gate (BASELINE.json:6).
 
-Normative round semantics (shared spec, engine mirrors exactly):
-  1. candidates = frontier rows: status==ACTIVE ∧ exetime<=now ∧
-     project schedulable (RUNNING/DEBUG — P2/P3/P6)
-  2. robots filter (J4/S10): disallowed rows settle as BAD, no retry
-  3. per-host politeness (O1/O2): refill tokens on logical clock,
-     admit top-⌊tokens⌋ ordered by (-priority, exetime, taskid)
-     — taskid tiebreak replaces heap-FIFO (SURVEY §7.3.1);
-     hosts '' (data:/cron rows) bypass the bucket
-  4. global round budget (O3): same total order, first `round_budget`
-  5. host_state update: tokens = refilled − actually_scheduled
-  6. fetch (J1/S7/S8): data: → 200 inline; slow.example → 599;
+Normative round semantics (THE spec — the engine mirrors it exactly):
+  0. updates = injected rows ∪ follows discovered last round ∪ cron
+     rows due now (F9); cancels (P5) processed first; remaining updates
+     collapsed per (project, taskid) with A4 rules (max priority, min
+     exetime, max age/itag, OR'd flags, min url/callback)
+  1. merge into frontier: unseen → insert ACTIVE; seen → on_old_request
+     restart rule (P4: force_update ∨ itag-change ∨ age elapsed).
+     Keys are (project, taskid) — the reference taskdb is one table per
+     project (``database/base/taskdb.py``), so the same url may be
+     crawled by two projects independently.
+  2. candidates: status==ACTIVE ∧ exetime<=now ∧ project schedulable
+     (RUNNING/DEBUG — P2/P3/P6)
+  3. robots filter (J4/S10): disallowed settle BAD, no retry
+  4. per-host politeness (O1/O2): refill tokens on the logical clock,
+     admit top-⌊tokens⌋ ordered by (-priority, exetime, taskid);
+     host '' (data:/cron rows) bypasses the bucket
+  5. global round budget (O3): same total order, first `round_budget`
+  6. host_state update — only hosts with ≥1 scheduled row:
+     tokens = refilled − scheduled_count, last_ts = now (hosts with no
+     admission keep their old (tokens, ts); mathematically equivalent
+     refill, and bit-exact between simulator and engine)
+  7. fetch (J1/S7/S8): data: → 200 inline; slow.example → 599;
      canon_url present in pages → 200; else 404
-  7. extract (F5/F7) on 200 via the shared oracle extractor
-  8. settle: 200 → SUCCESS (auto_recrawl+age ⇒ back to ACTIVE at
-     now+age); 404/599 → retry ladder (F8) else FAILED
-  9. follows: within-round collapse by taskid (A4: max priority, min
-     exetime), then URL-seen check (J2/J3: in-taskdb ∧ ¬cancelled);
-     unseen → insert ACTIVE; seen → on_old_request restart rule (P4)
- 10. cron (F9): projects with min_tick>0 emit a data: row each time
-     (now − t0) crosses a tick boundary
+  8. extract (F5/F7) on 200 via the shared oracle extractor; follows
+     become next round's updates (deferred merge)
+  9. settle: 200 → SUCCESS (auto_recrawl ∧ age≥0 ⇒ ACTIVE again at
+     exetime=now+age); 404/599 → retry ladder (F8) else FAILED
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import urllib.robotparser
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 from pyspider_spark.config import (
     ACTIVE,
@@ -47,6 +55,13 @@ from pyspider_spark.config import (
 from pyspider_spark.kernels.bucket import refill_scalar
 from pyspider_spark.kernels.canon import canonicalize, taskid_of, url_host
 from pyspider_spark.oracle.extractor import extract_page
+
+
+def seen_key(project: str, canon_url: str) -> str:
+    """Key of the bloom/cuckoo URL-seen set: md5(project|canon_url).
+    Distinct from taskid (= md5(canon_url), F1 parity) because the
+    reference scopes taskids per project table."""
+    return hashlib.md5(f"{project}|{canon_url}".encode()).hexdigest()
 
 
 @dataclass
@@ -72,9 +87,10 @@ class Task:
 
 @dataclass
 class SimState:
-    frontier: dict[str, Task] = field(default_factory=dict)
-    cancelled: set[str] = field(default_factory=set)  # cuckoo shadow
+    frontier: dict[tuple[str, str], Task] = field(default_factory=dict)
+    cancelled: set[str] = field(default_factory=set)  # seen_keys (cuckoo shadow)
     host_tokens: dict[str, tuple[float, float]] = field(default_factory=dict)
+    pending_follows: list[dict] = field(default_factory=list)
     schedule_log: list[dict] = field(default_factory=list)
     results: list[dict] = field(default_factory=list)
     metrics: list[dict] = field(default_factory=list)
@@ -82,10 +98,32 @@ class SimState:
 
     @property
     def seen(self) -> set[str]:
-        return set(self.frontier) - self.cancelled
+        keys = {seen_key(t.project, t.canon_url) for t in self.frontier.values()}
+        return keys - self.cancelled
 
 
 ORDER_KEY = lambda t: (-t.priority, t.exetime, t.taskid)  # noqa: E731 — O1 total order
+
+
+def _collapse(rows: list[dict]) -> list[dict]:
+    """A4 collapse of update rows per (project, taskid)."""
+    merged: dict[tuple[str, str], dict] = {}
+    for r in rows:
+        key = (r["project"], r["taskid"])
+        m = merged.get(key)
+        if m is None:
+            merged[key] = dict(r)
+            continue
+        m["priority"] = max(m["priority"], r["priority"])
+        m["exetime"] = min(m["exetime"], r["exetime"])
+        m["age"] = max(m["age"], r["age"])
+        if r.get("itag") is not None:
+            m["itag"] = r["itag"] if m.get("itag") is None else max(m["itag"], r["itag"])
+        m["force_update"] = m["force_update"] or r["force_update"]
+        m["auto_recrawl"] = m["auto_recrawl"] or r["auto_recrawl"]
+        m["url"] = min(m["url"], r["url"])
+        m["callback"] = min(m["callback"], r["callback"])
+    return [merged[k] for k in sorted(merged)]
 
 
 class Simulator:
@@ -103,118 +141,124 @@ class Simulator:
             self._robots[host] = rp
         self.state = SimState()
 
-    # ---- robots ---------------------------------------------------------
+    # ---- helpers ---------------------------------------------------------
     def allowed(self, host: str, url: str) -> bool:
         if not self.cfg.respect_robots or not host:
             return True
         rp = self._robots.get(host)
-        if rp is None:
-            return True
-        return rp.can_fetch("*", url)
+        return True if rp is None else rp.can_fetch("*", url)
 
     def _schedulable(self, project: str) -> bool:
         p = self.projects.get(project)
         return bool(p) and p["status"] in ("RUNNING", "DEBUG")
 
-    # ---- task admission (new vs old — steps 9 / P4) ----------------------
-    def submit(self, t: Task, now: float, rnd: int) -> None:
-        old = self.state.frontier.get(t.taskid)
-        if old is None or t.taskid in self.state.cancelled:
-            self.state.cancelled.discard(t.taskid)
-            t.updatetime = now
-            t.round_added = rnd
-            self.state.frontier[t.taskid] = t
-            return
-        # on_old_request (scheduler.py ~L380-440): restart iff force_update
-        # OR itag changed OR (age>=0 AND now-lastcrawltime>=age)
-        restart = (
-            t.force_update
-            or (t.itag is not None and t.itag != old.itag)
-            or (t.age >= 0 and now - old.lastcrawltime >= t.age)
-        )
-        if restart:
-            old.status = ACTIVE
-            old.priority = max(old.priority, t.priority)
-            old.exetime = t.exetime
-            old.age = t.age if t.age >= 0 else old.age
-            old.itag = t.itag if t.itag is not None else old.itag
-            old.retries_left = self.cfg.max_retries
-            old.auto_recrawl = t.auto_recrawl or old.auto_recrawl
-            old.updatetime = now
-
-    def cancel(self, taskid: str) -> None:
-        """P5: remove + mark re-crawlable (cuckoo insert)."""
-        if taskid in self.state.frontier:
-            del self.state.frontier[taskid]
-        self.state.cancelled.add(taskid)
-
-    def seed_task(self, row: dict, rnd: int) -> Task | None:
-        cu = canonicalize(row["url"])
+    def _norm(self, row: dict) -> dict | None:
+        """Normalize an update row: canonicalize, fill defaults."""
+        cu = row.get("canon_url") or canonicalize(row["url"])
         if not cu:
             return None
-        return Task(
+        return dict(
             taskid=taskid_of(cu),
-            project=row.get("project", "test_project"),
+            project=row.get("project") or "test_project",
             url=row["url"],
             canon_url=cu,
             host=url_host(cu),
-            priority=int(row.get("priority", 0)),
-            retries_left=self.cfg.max_retries,
-            exetime=float(row.get("exetime", 0.0)),
-            age=float(row.get("age", -1.0)),
+            priority=int(row.get("priority") or 0),
+            exetime=float(row.get("exetime") or 0.0),
+            age=float(row["age"]) if row.get("age") is not None else -1.0,
             itag=row.get("itag"),
-            force_update=bool(row.get("force_update", False)),
-            auto_recrawl=bool(row.get("auto_recrawl", False)),
-            callback=row.get("callback", "index_page"),
-            round_added=rnd,
+            force_update=bool(row.get("force_update") or False),
+            auto_recrawl=bool(row.get("auto_recrawl") or False),
+            callback=row.get("callback") or "index_page",
         )
 
-    # ---- one round --------------------------------------------------------
+    # ---- merge (steps 0-1) -------------------------------------------------
+    def _merge(self, rows: list[dict], now: float, rnd: int) -> int:
+        st = self.state
+        cancels, updates = [], []
+        for r in rows:
+            n = self._norm(r)
+            if n is None:
+                continue
+            (cancels if r.get("cancel") else updates).append(n)
+        for c in cancels:
+            sk = seen_key(c["project"], c["canon_url"])
+            st.frontier.pop((c["project"], c["taskid"]), None)
+            st.cancelled.add(sk)
+        inserted = 0
+        for u in _collapse(updates):
+            key = (u["project"], u["taskid"])
+            sk = seen_key(u["project"], u["canon_url"])
+            old = st.frontier.get(key)
+            if old is None or sk in st.cancelled:
+                st.cancelled.discard(sk)
+                st.frontier[key] = Task(
+                    taskid=u["taskid"], project=u["project"], url=u["url"],
+                    canon_url=u["canon_url"], host=u["host"], status=ACTIVE,
+                    priority=u["priority"], retries_left=self.cfg.max_retries,
+                    exetime=u["exetime"], age=u["age"], itag=u["itag"],
+                    force_update=u["force_update"], auto_recrawl=u["auto_recrawl"],
+                    callback=u["callback"], updatetime=now, round_added=rnd,
+                )
+                inserted += 1
+                continue
+            # on_old_request (P4)
+            restart = (
+                u["force_update"]
+                or (u["itag"] is not None and u["itag"] != old.itag)
+                or (u["age"] >= 0 and now - old.lastcrawltime >= u["age"])
+            )
+            if restart:
+                old.status = ACTIVE
+                old.priority = max(old.priority, u["priority"])
+                old.exetime = u["exetime"]
+                old.age = u["age"] if u["age"] >= 0 else old.age
+                old.itag = u["itag"] if u["itag"] is not None else old.itag
+                old.retries_left = self.cfg.max_retries
+                old.auto_recrawl = u["auto_recrawl"] or old.auto_recrawl
+                old.updatetime = now
+        return inserted
+
+    def _cron_rows(self, now: float) -> list[dict]:
+        cfg, st = self.cfg, self.state
+        out = []
+        for name, p in sorted(self.projects.items()):
+            tick = p.get("min_tick", 0) or 0
+            if tick > 0 and self._schedulable(name) and (now - cfg.t0) >= 0:
+                k = int((now - cfg.t0) // tick)
+                if k > st.cron_count.get(name, -1):
+                    st.cron_count[name] = k
+                    out.append(dict(url=f"data:,_on_cronjob|{name}|{k}", project=name,
+                                    callback="_on_cronjob"))
+        return out
+
+    # ---- one round ----------------------------------------------------------
     def run_round(self, rnd: int, inject: list[dict] | None = None) -> list[Task]:
         cfg = self.cfg
         now = cfg.now(rnd)
         st = self.state
 
-        for row in inject or []:
-            if row.get("cancel"):
-                cu = canonicalize(row["url"])
-                self.cancel(taskid_of(cu))
-                continue
-            t = self.seed_task(row, rnd)
-            if t is not None:
-                self.submit(t, now, rnd)
+        rows = list(inject or []) + st.pending_follows + self._cron_rows(now)
+        st.pending_follows = []
+        n_new = self._merge(rows, now, rnd)
 
-        # cron rows (F9)
-        for name, p in sorted(self.projects.items()):
-            tick = p.get("min_tick", 0) or 0
-            if tick > 0 and self._schedulable(name):
-                k = int((now - cfg.t0) // tick)
-                if k > st.cron_count.get(name, -1) and (now - cfg.t0) >= 0:
-                    st.cron_count[name] = k
-                    url = f"data:,_on_cronjob|{name}|{k}"
-                    t = Task(
-                        taskid=taskid_of(url), project=name, url=url, canon_url=url,
-                        host="", callback="_on_cronjob", round_added=rnd,
-                        retries_left=cfg.max_retries,
-                    )
-                    self.submit(t, now, rnd)
-
-        # 1. candidates
+        # 2. candidates
         cands = [
             t for t in st.frontier.values()
             if t.status == ACTIVE and t.exetime <= now and self._schedulable(t.project)
         ]
 
-        # 2. robots
-        passing = []
+        # 3. robots
+        passing, n_blocked = [], 0
         for t in sorted(cands, key=ORDER_KEY):
             if self.allowed(t.host, t.canon_url):
                 passing.append(t)
             else:
                 t.status = BAD
                 t.updatetime = now
+                n_blocked += 1
 
-        # 3. per-host admission
+        # 4. per-host admission
         by_host: dict[str, list[Task]] = {}
         for t in passing:
             by_host.setdefault(t.host, []).append(t)
@@ -229,17 +273,17 @@ class Simulator:
             refilled[host] = tok
             admitted.extend(ts[: int(tok)])
 
-        # 4. global budget
+        # 5. global budget
         admitted.sort(key=ORDER_KEY)
         sched = admitted[: cfg.round_budget]
 
-        # 5. host_state update
+        # 6. host_state update (scheduled hosts only)
         per_host_count: dict[str, int] = {}
         for t in sched:
             if t.host:
                 per_host_count[t.host] = per_host_count.get(t.host, 0) + 1
-        for host, tok in refilled.items():
-            st.host_tokens[host] = (tok - per_host_count.get(host, 0), now)
+        for host, cnt in per_host_count.items():
+            st.host_tokens[host] = (refilled[host] - cnt, now)
 
         # schedule log (golden_schedule shape — FIXTURES.md §5)
         seq: dict[str, int] = {}
@@ -247,15 +291,15 @@ class Simulator:
             s = seq.get(t.host, 0)
             seq[t.host] = s + 1
             st.schedule_log.append(
-                dict(round=rnd, host=t.host, seq_in_host=s, taskid=t.taskid,
-                     canon_url=t.canon_url, priority=t.priority)
+                dict(round=rnd, host=t.host, seq_in_host=s, project=t.project,
+                     taskid=t.taskid, canon_url=t.canon_url, priority=t.priority)
             )
 
-        # 6-8. fetch / extract / settle
+        # 7-9. fetch / extract / settle
         n_ok = n_fail = 0
         for t in sched:
             if t.canon_url.startswith("data:"):
-                code, html = 200, t.canon_url.split(",", 1)[-1].encode()
+                code, html = 200, b""
             elif t.host == "slow.example":
                 code, html = 599, None
             elif t.canon_url in self.pages:
@@ -265,8 +309,7 @@ class Simulator:
 
             if code == 200:
                 n_ok += 1
-                ext = extract_page(html, t.canon_url) if not t.canon_url.startswith("data:") \
-                    else extract_page(b"", t.canon_url)
+                ext = extract_page(html, t.canon_url)
                 t.status = SUCCESS
                 t.lastcrawltime = now
                 t.updatetime = now
@@ -279,19 +322,10 @@ class Simulator:
                 if t.auto_recrawl and t.age >= 0:
                     t.status = ACTIVE
                     t.exetime = now + t.age
-                # 9. follows — collapse then submit
-                collapsed: dict[str, Task] = {}
                 for link in ext.links:
-                    tid = taskid_of(link)
-                    if tid in collapsed:
-                        continue
-                    collapsed[tid] = Task(
-                        taskid=tid, project=t.project, url=link, canon_url=link,
-                        host=url_host(link), retries_left=self.cfg.max_retries,
-                        round_added=rnd,
+                    st.pending_follows.append(
+                        dict(url=link, canon_url=link, project=t.project)
                     )
-                for f in collapsed.values():
-                    self.submit(f, now, rnd)
             else:
                 n_fail += 1
                 t.updatetime = now
@@ -305,14 +339,16 @@ class Simulator:
 
         st.metrics.append(
             dict(round=rnd, scheduled=len(sched), ok=n_ok, failed=n_fail,
-                 frontier=len(st.frontier))
+                 robots_blocked=n_blocked, new_urls=n_new, frontier=len(st.frontier))
         )
         return sched
 
     def run(self, rounds: int, seeds: list[dict], inject_at: dict[int, list[dict]] | None = None):
         inject_at = dict(inject_at or {})
-        inject_at.setdefault(0, [])
-        inject_at[0] = list(seeds) + list(inject_at[0])
+        inject_at[0] = list(seeds) + list(inject_at.get(0, []))
         for r in range(rounds):
             self.run_round(r, inject_at.get(r))
         return self.state
+
+
+__all__ = ["Simulator", "SimState", "Task", "seen_key", "ORDER_KEY", "replace"]

@@ -5,7 +5,11 @@ reference's tests/test_scheduler.py + test_task_queue.py scenarios
 from pyspider_spark.config import ACTIVE, BAD, FAILED, SUCCESS, RoundConfig
 from pyspider_spark.kernels.canon import canonicalize, taskid_of
 from pyspider_spark.oracle.extractor import extract_page
-from pyspider_spark.oracle.simulator import Simulator
+from pyspider_spark.oracle.simulator import Simulator, seen_key
+
+
+def fkey(u, project="test_project"):
+    return (project, taskid_of(canonicalize(u)))
 
 T0 = 1_767_225_600.0
 PROJECTS = {"test_project": {"status": "RUNNING", "rate": 1.0, "burst": 10.0, "min_tick": 0}}
@@ -36,7 +40,7 @@ def test_new_task_scheduled_and_duplicates_ignored():
                           "http://A.EXAMPLE:80/p/0#top"))
     assert len(st.schedule_log) == 1
     assert st.schedule_log[0]["canon_url"] == "http://a.example/p/0"
-    assert st.frontier[st.schedule_log[0]["taskid"]].status == SUCCESS
+    assert st.frontier[("test_project", st.schedule_log[0]["taskid"])].status == SUCCESS
 
 
 def test_priority_order_within_host():
@@ -78,7 +82,7 @@ def test_robots_blocked_is_bad_no_retry():
     st = sim.run(2, seeds(*urls))
     scheduled = {e["canon_url"] for e in st.schedule_log}
     assert scheduled == {"http://a.example/q/1"}
-    blocked = st.frontier[taskid_of("http://a.example/p/1")]
+    blocked = st.frontier[fkey("http://a.example/p/1")]
     assert blocked.status == BAD
 
 
@@ -88,7 +92,7 @@ def test_retry_ladder_then_failed():
     c = RoundConfig(t0=T0, dt=1.0, max_retries=2, retry_delay=delays)
     sim = Simulator(c, {}, {}, PROJECTS)
     st = sim.run(6, seeds(u))
-    t = st.frontier[taskid_of(u)]
+    t = st.frontier[fkey(u)]
     rounds = [e["round"] for e in st.schedule_log]
     # round0: fail (retried=0, delay 1) → round1 eligible; fail (retried=1,
     # delay 2) → round3; retries exhausted → FAILED
@@ -100,15 +104,15 @@ def test_404_retries_and_success_has_lastcrawltime():
     ok = "http://a.example/p/0"
     sim = Simulator(cfg(), mkpages([ok]), {}, PROJECTS)
     st = sim.run(1, seeds(ok, "http://a.example/missing"))
-    assert st.frontier[taskid_of(ok)].lastcrawltime == T0
-    missing = st.frontier[taskid_of("http://a.example/missing")]
+    assert st.frontier[fkey(ok)].lastcrawltime == T0
+    missing = st.frontier[fkey("http://a.example/missing")]
     assert missing.status == ACTIVE and missing.exetime == T0 + 30
 
 
 def test_slow_host_timeout():
     sim = Simulator(cfg(), {}, {}, PROJECTS)
     st = sim.run(1, seeds("http://slow.example/p/0"))
-    t = st.frontier[taskid_of("http://slow.example/p/0")]
+    t = st.frontier[fkey("http://slow.example/p/0")]
     assert t.status == ACTIVE and t.exetime > T0  # 599 → retry path
 
 
@@ -130,17 +134,17 @@ def test_force_update_restart_and_age_restart():
     u = "http://a.example/p/0"
     sim = Simulator(cfg(), mkpages([u]), {}, PROJECTS)
     sim.run(1, seeds(u))
-    assert sim.state.frontier[taskid_of(u)].status == SUCCESS
+    assert sim.state.frontier[fkey(u)].status == SUCCESS
     # re-inject without force → ignored
     sim.run_round(1, seeds(u))
-    assert sim.state.frontier[taskid_of(u)].status == SUCCESS
+    assert sim.state.frontier[fkey(u)].status == SUCCESS
     # re-inject with force_update → restart → recrawled same round
     sim.run_round(2, [dict(url=u, force_update=True)])
-    t = sim.state.frontier[taskid_of(u)]
+    t = sim.state.frontier[fkey(u)]
     assert t.status == SUCCESS and t.lastcrawltime == T0 + 2
     # age-based restart: age=1, lastcrawltime=round2 → restart at round 5
     sim.run_round(5, [dict(url=u, age=1.0)])
-    t = sim.state.frontier[taskid_of(u)]
+    t = sim.state.frontier[fkey(u)]
     assert t.status == SUCCESS and t.lastcrawltime == T0 + 5
     assert [e["round"] for e in sim.state.schedule_log] == [0, 2, 5]
 
@@ -149,9 +153,9 @@ def test_itag_change_restarts():
     u = "http://a.example/p/0"
     sim = Simulator(cfg(), mkpages([u]), {}, PROJECTS)
     sim.run(1, [dict(url=u, itag="v1")])
-    assert sim.state.frontier[taskid_of(u)].status == SUCCESS
+    assert sim.state.frontier[fkey(u)].status == SUCCESS
     sim.run_round(1, [dict(url=u, itag="v1")])  # same itag → no restart
-    assert sim.state.frontier[taskid_of(u)].status == SUCCESS
+    assert sim.state.frontier[fkey(u)].status == SUCCESS
     sim.run_round(2, [dict(url=u, itag="v2")])  # changed → restart+recrawl
     assert [e["round"] for e in sim.state.schedule_log] == [0, 2]
 
@@ -160,12 +164,12 @@ def test_cancel_allows_recrawl():
     u = "http://a.example/p/0"
     sim = Simulator(cfg(), mkpages([u]), {}, PROJECTS)
     sim.run(1, seeds(u))
-    tid = taskid_of(u)
-    assert tid in sim.state.seen
+    sk = seen_key("test_project", canonicalize(u))
+    assert sk in sim.state.seen
     sim.run_round(1, [dict(url=u, cancel=True)])
-    assert tid not in sim.state.seen
+    assert sk not in sim.state.seen
     sim.run_round(2, seeds(u))  # re-crawl allowed
-    assert sim.state.frontier[tid].status == SUCCESS
+    assert sim.state.frontier[fkey(u)].status == SUCCESS
     assert [e["round"] for e in sim.state.schedule_log] == [0, 2]
 
 
@@ -192,7 +196,7 @@ def test_cron_emission():
     cron = [e for e in st.schedule_log if e["canon_url"].startswith("data:")]
     assert [e["round"] for e in cron] == [0, 3, 6]
     # data: rows fetch inline and succeed
-    assert all(st.frontier[e["taskid"]].status == SUCCESS for e in cron)
+    assert all(st.frontier[(e["project"], e["taskid"])].status == SUCCESS for e in cron)
 
 
 def test_global_round_budget():
