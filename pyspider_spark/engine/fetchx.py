@@ -1,0 +1,92 @@
+"""Simulated fetch (equi-join vs the pages table) + vectorized
+extraction (SURVEY §2.1 S7/S8, §2.3 J1, §2.7 F4-F7).
+
+Fetch: the reference fetches over HTTP (``pyspider/fetcher/
+tornado_fetcher.py — http_fetch()``); in the sandbox the web IS the
+pages table (BASELINE.json input_hint), so fetching is a left equi-join
+on canon_url — a miss is the 404 path, host 'slow.example' is the
+599-timeout path, and ``data:`` urls short-circuit the join entirely
+(``tornado_fetcher.py — data_fetch()``). In production this stage is a
+mapInPandas batch-async HTTP fetcher with the same output columns.
+
+Extract: the Arrow UDF calls the SAME plain-Python
+``oracle.extractor.extract_page`` the golden fixtures were generated
+with — byte-identity per url by construction (BASELINE.json:15),
+verified by tests.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from pyspider_spark.config import (
+    FETCH_NOT_FOUND,
+    FETCH_OK,
+    FETCH_TIMEOUT,
+    RoundConfig,
+)
+from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+from pyspider_spark.kernels.canon import canonicalize_series
+from pyspider_spark.oracle.extractor import extract_page
+
+EXTRACT_TYPE = StructType(
+    [
+        StructField("text", StringType()),
+        StructField("links", ArrayType(StringType())),
+        StructField("encoding", StringType()),
+    ]
+)
+
+
+@F.pandas_udf(EXTRACT_TYPE)
+def extract_udf(html: pd.Series, canon_url: pd.Series) -> pd.DataFrame:
+    texts, links, encs = [], [], []
+    for h, u in zip(html, canon_url):
+        ext = extract_page(h if isinstance(h, (bytes, bytearray)) else None, u or "")
+        texts.append(ext.text)
+        links.append(ext.links)
+        encs.append(ext.encoding)
+    return pd.DataFrame({"text": texts, "links": links, "encoding": encs})
+
+
+@F.pandas_udf(StringType())
+def canon_udf(url: pd.Series) -> pd.Series:
+    return canonicalize_series(url)
+
+
+def prepare_pages(pages: DataFrame) -> DataFrame:
+    """Canonical-keyed projection of the pages table. Column-pruned to
+    (canon_url, html) — the scan must not read text/lang (ReadSchema
+    check in tests). Fixture urls are canon-unique by construction."""
+    return pages.select(canon_udf(F.col("url")).alias("canon_url"), "html")
+
+
+def fetch_and_extract(sched: DataFrame, pages_canon: DataFrame, cfg: RoundConfig) -> DataFrame:
+    """J1 + F5/F7: left join on canon_url, derive status code, extract.
+
+    Join strategy: per-round schedule (≤ round_budget rows) vs the full
+    pages table — AQE broadcasts the schedule side when small; at 100 TB
+    the alternative is a sort-merge co-bucketed on canon_url. The pages
+    scan prunes to (url, html).
+    """
+    f = sched.join(pages_canon, "canon_url", "left")
+    code = (
+        F.when(F.col("canon_url").startswith("data:"), F.lit(FETCH_OK))
+        .when(F.col("host") == "slow.example", F.lit(FETCH_TIMEOUT))
+        .when(F.col("html").isNotNull(), F.lit(FETCH_OK))
+        .otherwise(F.lit(FETCH_NOT_FOUND))
+    )
+    f = f.withColumn("code", code)
+    ext = F.when(
+        F.col("code") == FETCH_OK, extract_udf(F.col("html"), F.col("canon_url"))
+    ).otherwise(F.lit(None))
+    f = f.withColumn("_ext", ext)
+    return f.select(
+        *[c for c in sched.columns],
+        "code",
+        F.col("_ext.text").alias("text"),
+        F.col("_ext.links").alias("links"),
+    )

@@ -1,0 +1,148 @@
+"""Robots gate + per-host token-bucket admission (SURVEY §2.5 O1/O2,
+§2.3 J4, §4.3.2-3).
+
+Reference semantics mirrored:
+- robots: ``pyspider/fetcher/tornado_fetcher.py — can_fetch()
+  (~L200-240)`` — stdlib ``urllib.robotparser``, agent '*'.
+- bucket: ``pyspider/scheduler/token_bucket.py — Bucket.get()``: refill
+  ``min(burst, tokens + rate·Δt)``, admit ⌊tokens⌋ per host per round.
+- order: ``scheduler/task_queue.py — InQueueTask.__lt__`` (O1 key).
+
+Scale design (hot-domain skew, BASELINE.json:14): admission per host is
+a top-k with k = ⌊tokens⌋ ≤ ⌊burst⌋, so a salted two-phase rank bounds
+any single task's data: phase 1 keeps the top ⌊burst⌋ rows per
+(host, salt) with a window rank — a hot host with millions of frontier
+rows contributes at most n_salts·⌊burst⌋ rows to phase 2 — then phase 2
+runs the exact bucket math per host over that tiny reduced set in
+applyInPandas with carried (tokens, last_ts) state.
+"""
+
+from __future__ import annotations
+
+import urllib.robotparser
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+from pyspark.sql.types import BooleanType, DoubleType, StructField, StructType
+
+from pyspider_spark.config import RoundConfig
+from pyspider_spark.engine.stages import order_cols
+from pyspider_spark.kernels.bucket import refill_scalar
+
+ADMIT_COLS = [
+    "project",
+    "taskid",
+    "url",
+    "canon_url",
+    "host",
+    "priority",
+    "exetime",
+    "age",
+    "auto_recrawl",
+    "callback",
+    "retries_left",
+]
+
+
+@F.pandas_udf(BooleanType())
+def _robots_allowed(host: pd.Series, canon_url: pd.Series, robots_txt: pd.Series) -> pd.Series:
+    """Vectorized robots check; one parse per distinct robots text per
+    Arrow batch (hosts repeat heavily within a batch)."""
+    parsers: dict[str, urllib.robotparser.RobotFileParser] = {}
+    out = []
+    for h, u, txt in zip(host, canon_url, robots_txt):
+        if not h or txt is None or pd.isna(txt):
+            out.append(True)
+            continue
+        rp = parsers.get(txt)
+        if rp is None:
+            rp = urllib.robotparser.RobotFileParser()
+            rp.parse(txt.splitlines())
+            parsers[txt] = rp
+        out.append(rp.can_fetch("*", u))
+    return pd.Series(out, dtype=bool)
+
+
+def check_robots(cands: DataFrame, robots: DataFrame, cfg: RoundConfig) -> DataFrame:
+    """Adds boolean `allowed`. robots is a small dim (host → robots_txt)
+    → broadcast hash join; no robots row for a host ⇒ allowed."""
+    if not cfg.respect_robots:
+        return cands.withColumn("allowed", F.lit(True))
+    dim = F.broadcast(robots.select("host", "robots_txt"))
+    j = cands.join(dim, "host", "left")
+    j = j.withColumn(
+        "allowed", _robots_allowed(F.col("host"), F.col("canon_url"), F.col("robots_txt"))
+    )
+    return j.drop("robots_txt")
+
+
+def admit(
+    passing: DataFrame, host_state: DataFrame, cfg: RoundConfig, now: float
+) -> DataFrame:
+    """Per-host bucket admission over robots-passing candidates with
+    host != ''. Returns admitted rows + `refilled` (the host's
+    post-refill token count, needed for the post-budget state update).
+    """
+    k = max(1, int(cfg.burst))
+    # phase 1: salted pre-rank — per-(host, salt) top ⌊burst⌋ bounds
+    # skew; admitted set is unchanged because k_host ≤ ⌊burst⌋.
+    salted = passing.withColumn(
+        "salt", F.pmod(F.xxhash64("taskid", "project"), F.lit(cfg.n_salts))
+    )
+    w = Window.partitionBy("host", "salt").orderBy(*order_cols())
+    reduced = (
+        salted.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk", "salt")
+    )
+
+    # phase 2: exact bucket math per host (tiny groups post-phase-1)
+    st = host_state.select(
+        "host", F.col("tokens").alias("_tokens"), F.col("last_ts").alias("_last_ts")
+    )
+    joined = reduced.select(*ADMIT_COLS).join(st, "host", "left")
+
+    out_schema = StructType(
+        joined.drop("_tokens", "_last_ts").schema.fields
+        + [StructField("refilled", DoubleType())]
+    )
+    rate, burst = cfg.rate, cfg.burst
+
+    def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        tokens = pdf["_tokens"].iloc[0]
+        last_ts = pdf["_last_ts"].iloc[0]
+        if pd.isna(tokens):  # host never scheduled before → full bucket
+            tokens, last_ts = burst, now
+        tok = refill_scalar(float(tokens), float(last_ts), now, rate, burst)
+        n = int(tok)
+        pdf = pdf.sort_values(
+            ["priority", "exetime", "taskid", "project"],
+            ascending=[False, True, True, True],
+        ).head(n)
+        pdf = pdf.drop(columns=["_tokens", "_last_ts"])
+        pdf["refilled"] = tok
+        return pdf
+
+    return joined.groupBy("host").applyInPandas(fn, out_schema)
+
+
+def schedule_round(
+    cands: DataFrame, robots: DataFrame, host_state: DataFrame, cfg: RoundConfig, now: float
+) -> tuple[DataFrame, DataFrame]:
+    """Full O1/O2/O3/J4 pass. Returns (sched, blocked).
+
+    sched: the round's fetch schedule — robots-passing, per-host bucket
+    admission, global `round_budget` cut in O1 order (TakeOrdered: per-
+    partition top-k then merge — no global sort materialization).
+    blocked: robots-disallowed rows (settle BAD, no retry)."""
+    checked = check_robots(cands, robots, cfg)
+    blocked = checked.filter(~F.col("allowed")).select(*ADMIT_COLS)
+    ok = checked.filter(F.col("allowed"))
+
+    bucketed = admit(ok.filter(F.col("host") != ""), host_state, cfg, now)
+    free = ok.filter(F.col("host") == "").select(*ADMIT_COLS).withColumn(
+        "refilled", F.lit(None).cast(DoubleType())
+    )
+    sched = bucketed.unionByName(free).orderBy(*order_cols()).limit(cfg.round_budget)
+    return sched, blocked

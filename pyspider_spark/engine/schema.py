@@ -1,0 +1,129 @@
+"""Fixed StructTypes for the engine's state tables (SURVEY §1.4).
+
+The reference moves one dynamically-schemaed task dict between
+components (``pyspider/libs/base_handler.py — BaseHandler.crawl()``);
+our build flattens its nested ``schedule/fetch/process`` sections to
+typed columns of the ``frontier`` table so Parquet stats, predicate
+pushdown and column pruning all work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+FRONTIER_SCHEMA = StructType(
+    [
+        StructField("project", StringType(), False),
+        StructField("taskid", StringType(), False),
+        StructField("url", StringType()),
+        StructField("canon_url", StringType()),
+        StructField("host", StringType()),
+        StructField("status", IntegerType()),
+        StructField("priority", IntegerType()),
+        StructField("retries_left", IntegerType()),
+        StructField("exetime", DoubleType()),
+        StructField("age", DoubleType()),
+        StructField("itag", StringType()),
+        StructField("force_update", BooleanType()),
+        StructField("auto_recrawl", BooleanType()),
+        StructField("callback", StringType()),
+        StructField("lastcrawltime", DoubleType()),
+        StructField("updatetime", DoubleType()),
+        StructField("round_added", IntegerType()),
+    ]
+)
+
+# normalized update row (a "crawl request": seed, follow, cron, message,
+# cancel). seen_k/pid are derived membership keys (SURVEY §2.3 J2/J3).
+UPDATE_SCHEMA = StructType(
+    [
+        StructField("project", StringType(), False),
+        StructField("taskid", StringType(), False),
+        StructField("url", StringType()),
+        StructField("canon_url", StringType()),
+        StructField("host", StringType()),
+        StructField("seen_k", StringType()),
+        StructField("pid", IntegerType()),
+        StructField("priority", IntegerType()),
+        StructField("exetime", DoubleType()),
+        StructField("age", DoubleType()),
+        StructField("itag", StringType()),
+        StructField("force_update", BooleanType()),
+        StructField("auto_recrawl", BooleanType()),
+        StructField("callback", StringType()),
+        StructField("cancel", BooleanType()),
+    ]
+)
+
+# raw (pre-normalization) update rows: url+project required, rest optional
+RAW_UPDATE_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("canon_url", StringType()),
+        StructField("project", StringType()),
+        StructField("priority", IntegerType()),
+        StructField("exetime", DoubleType()),
+        StructField("age", DoubleType()),
+        StructField("itag", StringType()),
+        StructField("force_update", BooleanType()),
+        StructField("auto_recrawl", BooleanType()),
+        StructField("callback", StringType()),
+        StructField("cancel", BooleanType()),
+    ]
+)
+
+HOST_STATE_SCHEMA = StructType(
+    [
+        StructField("host", StringType(), False),
+        StructField("tokens", DoubleType()),
+        StructField("last_ts", DoubleType()),
+    ]
+)
+
+SCHEDULE_SCHEMA = StructType(
+    [
+        StructField("round", IntegerType()),
+        StructField("host", StringType()),
+        StructField("seq_in_host", IntegerType()),
+        StructField("project", StringType()),
+        StructField("taskid", StringType()),
+        StructField("canon_url", StringType()),
+        StructField("priority", IntegerType()),
+    ]
+)
+
+RESULTS_SCHEMA = StructType(
+    [
+        StructField("project", StringType()),
+        StructField("taskid", StringType()),
+        StructField("url", StringType()),
+        StructField("result", StringType()),
+        StructField("updatetime", DoubleType()),
+    ]
+)
+
+METRICS_SCHEMA = StructType(
+    [
+        StructField("round", IntegerType()),
+        StructField("scheduled", LongType()),
+        StructField("ok", LongType()),
+        StructField("failed", LongType()),
+        StructField("robots_blocked", LongType()),
+        StructField("new_urls", LongType()),
+        StructField("frontier", LongType()),
+        StructField("wall_s", DoubleType()),
+    ]
+)
+
+
+def empty_df(spark: SparkSession, schema: StructType) -> DataFrame:
+    return spark.createDataFrame([], schema)

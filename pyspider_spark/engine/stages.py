@@ -1,0 +1,219 @@
+"""Round stages: update normalization, A4 collapse, frontier merge
+(SURVEY §2.2 P4/P5, §2.4 A4, §2.6 U1, §3.1 steps 0-1).
+
+Mirrors the reference's admission path — ``pyspider/scheduler/
+scheduler.py — _check_request() → on_new_request()/on_old_request()
+(~L300-440)`` — recast as one collapsed-update + full-outer MERGE per
+round. The bloom `seen` flag routes the merge at scale: bloom has no
+false negatives, so rows the filter has never seen skip the (huge)
+frontier-side join entirely and go straight to the insert path; only
+bloom hits (true seen + rare false positives) join the frontier, where
+the join resolves FPs back to inserts (SURVEY §2.3 J2).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from pyspider_spark.config import ACTIVE, RoundConfig
+from pyspider_spark.engine.schema import RAW_UPDATE_SCHEMA, UPDATE_SCHEMA
+from pyspider_spark.kernels.canon import (
+    canonicalize_series,
+    host_series,
+    partition_of,
+    taskid_series,
+)
+from pyspider_spark.oracle.simulator import seen_key
+
+KEY = ["project", "taskid"]
+
+def order_cols() -> list[Column]:
+    """O1 total order (scheduler/task_queue.py — InQueueTask.__lt__):
+    highest priority first, earliest exetime, then pinned tiebreaks
+    (taskid, project) — identical to the oracle simulator's ORDER_KEY.
+    (Function, not constant: Columns need an active SparkContext.)"""
+    return [F.desc("priority"), F.asc("exetime"), F.asc("taskid"), F.asc("project")]
+
+_RAW_DEFAULTS: dict[str, object] = {
+    "canon_url": None,
+    "project": "test_project",
+    "priority": 0,
+    "exetime": 0.0,
+    "age": -1.0,
+    "itag": None,
+    "force_update": False,
+    "auto_recrawl": False,
+    "callback": "index_page",
+    "cancel": False,
+}
+
+
+def ensure_raw_columns(df: DataFrame) -> DataFrame:
+    """Add any missing raw-update columns with their defaults and cast
+    to the raw schema (callers may supply only url/project)."""
+    for f in RAW_UPDATE_SCHEMA.fields:
+        if f.name not in df.columns:
+            df = df.withColumn(f.name, F.lit(_RAW_DEFAULTS.get(f.name)).cast(f.dataType))
+        else:
+            df = df.withColumn(f.name, F.col(f.name).cast(f.dataType))
+    return df.select([f.name for f in RAW_UPDATE_SCHEMA.fields])
+
+
+def normalize_updates(raw: DataFrame, cfg: RoundConfig) -> DataFrame:
+    """Vectorized normalization (simulator._norm parity): canonicalize,
+    derive host/taskid/seen_k/pid, fill defaults, drop unusable urls.
+    mapInPandas — narrow, no shuffle."""
+    n_partitions = cfg.n_partitions
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            cu = pdf["canon_url"].where(
+                pdf["canon_url"].notna() & (pdf["canon_url"] != ""), other=None
+            )
+            missing = cu.isna()
+            cu = cu.copy()
+            cu[missing] = canonicalize_series(pdf.loc[missing, "url"])
+            keep = cu != ""
+            pdf = pdf[keep].copy()
+            cu = cu[keep]
+            pdf["canon_url"] = cu
+            pdf["host"] = host_series(cu)
+            pdf["taskid"] = taskid_series(cu)
+            pdf["project"] = pdf["project"].fillna("test_project")
+            pdf["seen_k"] = [
+                seen_key(p, c) for p, c in zip(pdf["project"], pdf["canon_url"])
+            ]
+            pdf["pid"] = [partition_of(h, n_partitions) for h in pdf["host"]]
+            pdf["priority"] = pdf["priority"].fillna(0).astype("int32")
+            pdf["exetime"] = pdf["exetime"].fillna(0.0)
+            pdf["age"] = pdf["age"].fillna(-1.0)
+            pdf["force_update"] = pdf["force_update"].fillna(False).astype(bool)
+            pdf["auto_recrawl"] = pdf["auto_recrawl"].fillna(False).astype(bool)
+            pdf["callback"] = pdf["callback"].fillna("index_page")
+            pdf["cancel"] = pdf["cancel"].fillna(False).astype(bool)
+            yield pdf[[f.name for f in UPDATE_SCHEMA.fields]]
+
+    return ensure_raw_columns(raw).mapInPandas(fn, UPDATE_SCHEMA)
+
+
+def collapse_updates(upd: DataFrame) -> DataFrame:
+    """A4 collapse per (project, taskid): max priority, min exetime, max
+    age, max itag (nulls ignored), OR'd flags, min url/callback —
+    reference keeps the max in-queue priority (``scheduler/task_queue.py
+    — PriorityTaskQueue.put()``); the rest pins a deterministic winner.
+    Catalyst runs this as partial+final hash agg (map-side combine)."""
+    return upd.groupBy(*KEY).agg(
+        F.min("url").alias("url"),
+        F.first("canon_url").alias("canon_url"),
+        F.first("host").alias("host"),
+        F.first("seen_k").alias("seen_k"),
+        F.first("pid").alias("pid"),
+        F.max("priority").alias("priority"),
+        F.min("exetime").alias("exetime"),
+        F.max("age").alias("age"),
+        F.max("itag").alias("itag"),
+        F.max("force_update").alias("force_update"),
+        F.max("auto_recrawl").alias("auto_recrawl"),
+        F.min("callback").alias("callback"),
+    )
+
+
+def _insert_cols(now: float, rnd: int, cfg: RoundConfig, src: str = "") -> list[Column]:
+    """Fresh ACTIVE frontier row from (possibly aliased) update cols."""
+    c = (lambda n: F.col(f"{src}.{n}")) if src else F.col
+    return [
+        c("project").alias("project"),
+        c("taskid").alias("taskid"),
+        c("url").alias("url"),
+        c("canon_url").alias("canon_url"),
+        c("host").alias("host"),
+        F.lit(ACTIVE).alias("status"),
+        c("priority").alias("priority"),
+        F.lit(cfg.max_retries).alias("retries_left"),
+        c("exetime").alias("exetime"),
+        c("age").alias("age"),
+        c("itag").alias("itag"),
+        c("force_update").alias("force_update"),
+        c("auto_recrawl").alias("auto_recrawl"),
+        c("callback").alias("callback"),
+        F.lit(0.0).alias("lastcrawltime"),
+        F.lit(now).alias("updatetime"),
+        F.lit(rnd).alias("round_added"),
+    ]
+
+
+def merge_frontier(
+    fr: DataFrame, upd: DataFrame, probe: DataFrame, now: float, rnd: int, cfg: RoundConfig
+) -> DataFrame:
+    """MERGE collapsed updates into the frontier (Iceberg ``MERGE INTO``
+    in production; full-outer join + rewrite in the sandbox shim).
+
+    - bloom-unseen rows: direct insert, never touch the frontier join
+    - bloom-seen rows: full-outer vs frontier on (project, taskid);
+      match ⇒ on_old_request restart rule P4, no match (bloom FP) ⇒ insert
+    """
+    upd = upd.join(probe.select(*KEY, "seen"), KEY, "inner")
+    inserts = upd.filter(~F.col("seen")).select(_insert_cols(now, rnd, cfg))
+
+    o, u = fr.alias("o"), upd.filter(F.col("seen")).alias("u")
+    j = o.join(u, KEY, "full_outer")
+
+    has_old = F.col("o.status").isNotNull()
+    has_upd = F.col("u.seen").isNotNull()
+    # P4 — scheduler.on_old_request (~L380-440)
+    restart = (
+        F.col("u.force_update")
+        | (F.col("u.itag").isNotNull() & ~F.col("u.itag").eqNullSafe(F.col("o.itag")))
+        | ((F.col("u.age") >= 0) & (F.lit(now) - F.col("o.lastcrawltime") >= F.col("u.age")))
+    )
+
+    def pick(name: str, restarted: Column) -> Column:
+        return (
+            F.when(~has_old, F.lit(None))  # placeholder; insert branch below
+            .when(has_upd & restart, restarted)
+            .otherwise(F.col(f"o.{name}"))
+        )
+
+    merged = j.select(
+        F.col("project"),
+        F.col("taskid"),
+        # insert branch (old side null): all fields from u
+        *[
+            F.when(~has_old, ins).otherwise(upd_or_old)
+            for ins, upd_or_old in zip(
+                _insert_cols(now, rnd, cfg, src="u")[2:],  # skip key cols
+                [
+                    pick("url", F.col("o.url")).alias("url"),
+                    pick("canon_url", F.col("o.canon_url")).alias("canon_url"),
+                    pick("host", F.col("o.host")).alias("host"),
+                    pick("status", F.lit(ACTIVE)).alias("status"),
+                    pick("priority", F.greatest("o.priority", "u.priority")).alias("priority"),
+                    pick("retries_left", F.lit(cfg.max_retries)).alias("retries_left"),
+                    pick("exetime", F.col("u.exetime")).alias("exetime"),
+                    pick(
+                        "age",
+                        F.when(F.col("u.age") >= 0, F.col("u.age")).otherwise(F.col("o.age")),
+                    ).alias("age"),
+                    pick("itag", F.coalesce("u.itag", "o.itag")).alias("itag"),
+                    pick("force_update", F.col("o.force_update")).alias("force_update"),
+                    pick(
+                        "auto_recrawl", F.col("o.auto_recrawl") | F.col("u.auto_recrawl")
+                    ).alias("auto_recrawl"),
+                    pick("callback", F.col("o.callback")).alias("callback"),
+                    pick("lastcrawltime", F.col("o.lastcrawltime")).alias("lastcrawltime"),
+                    pick("updatetime", F.lit(now)).alias("updatetime"),
+                    pick("round_added", F.col("o.round_added")).alias("round_added"),
+                ],
+            )
+        ],
+    )
+    # restore each column's alias (the when() wrapper strips it)
+    names = [f.name for f in fr.schema.fields]
+    merged = merged.toDF(*names)
+    return merged.unionByName(inserts)

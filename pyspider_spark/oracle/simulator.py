@@ -102,7 +102,9 @@ class SimState:
         return keys - self.cancelled
 
 
-ORDER_KEY = lambda t: (-t.priority, t.exetime, t.taskid)  # noqa: E731 — O1 total order
+# O1 total order; project is the final tiebreak so the same url crawled
+# by two projects has a pinned relative order (engine uses the same key).
+ORDER_KEY = lambda t: (-t.priority, t.exetime, t.taskid, t.project)  # noqa: E731
 
 
 def _collapse(rows: list[dict]) -> list[dict]:
