@@ -1,0 +1,788 @@
+"""Driver-contract queries: every SQL-expressible operator from
+SURVEY.md §2 plus the training-data pipeline ops (dedup / similarity /
+text analysis), each paired with a DuckDB oracle (SURVEY §5.2.5).
+
+Design for oracle fidelity
+--------------------------
+The driver runs each ``queries()[name]`` on Spark and the matching
+``oracle_sql()[name]`` on DuckDB over the same parquet tables, then
+compares row-count + schema + order-insensitive value hash. Three tiers:
+
+- ``COMMON_SQL``: ONE SQL string that both Spark SQL and DuckDB parse
+  identically (the relational spine: filters, windows, joins, aggs,
+  md5, CASE). Spark runs it through Catalyst — broadcast joins, partial
+  aggs, whole-stage codegen all apply — while DuckDB provides the
+  oracle, so dialect drift is structurally impossible.
+- ``PAIRED_SQL``: array/lambda ops where dialects differ only in
+  function names (``transform``/``list_transform``, ``explode``/
+  ``unnest`` …). Both strings are generated from the same Python
+  helpers so the *semantics* are written once.
+- ``CUSTOM``: Spark-side Python (pandas-UDF kernels, applyInPandas
+  politeness, mapInPandas bloom probe, engine rounds) with a
+  handwritten SQL oracle where expressible, rows-only otherwise.
+
+Float-valued outputs are rounded to 6 (or fewer) decimals on BOTH
+sides before comparison; every computed column is aliased identically.
+
+Crawl-core queries derive a deterministic frontier from the driver's
+``orders`` table (urls, hosts, priorities, exetimes, statuses are pure
+functions of o_orderkey/o_custkey) so the same derivation is written in
+the oracle — no private fixture data is involved in the gate.
+
+Reference parity notes cite dulci/pyspider symbols per SURVEY §2
+(e.g. O1 ``scheduler/task_queue.py — InQueueTask.__lt__``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+T0 = 1767225600.0  # 2026-01-01T00:00:00Z — the engine's logical-clock epoch
+NOW = T0 + 50.0  # round's logical now for the exetime gate (P3)
+BURST = 10  # politeness bucket capacity (projectdb rate/burst analog)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    # UTC session tz so timestamp field extraction matches DuckDB's
+    # naive-as-UTC semantics regardless of the host session default.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    sf = sf_dir.rstrip("/")
+    for t in TABLES:
+        spark.read.parquet(f"{sf}/{t}.parquet").createOrReplaceTempView(t)
+
+
+# =====================================================================
+# Shared CTE fragments
+# =====================================================================
+
+# Deterministic frontier derived from `orders` (taskid=md5(url) per F1;
+# status enum per database/base/taskdb.py ACTIVE=1/SUCCESS=2/FAILED=3).
+FRONTIER_CTE = """
+frontier AS (
+  SELECT
+    o_orderkey AS k,
+    concat('host', o_custkey % 50, '.example') AS host,
+    concat('http://host', o_custkey % 50, '.example/o/', o_orderkey) AS url,
+    CAST(o_orderkey % 10 AS INT) AS priority,
+    1767225600.0 + CAST(o_orderkey % 100 AS DOUBLE) AS exetime,
+    CASE o_orderstatus WHEN 'O' THEN 1 WHEN 'F' THEN 2 ELSE 3 END AS status,
+    concat('p', o_orderkey % 3) AS project,
+    CAST(o_orderkey % 5 AS INT) AS retried,
+    o_totalprice AS totalprice
+  FROM orders
+)
+"""
+
+# Documents augmented with injected duplicates so dedup operators have
+# non-trivial positives: +1000000 = near-dup (padded tail), +2000000 =
+# exact copy.
+DOCS_AUG_CTE = """
+docs_aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, concat(text, ' zz extra pad token') AS text
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 25 = 0
+)
+"""
+
+
+def _tok_cte(dialect: str, src: str = "documents") -> str:
+    """tokens = lower, split on non-alnum, drop empties — identical
+    semantics in both dialects (F7-adjacent text normalization)."""
+    if dialect == "spark":
+        return (
+            f"tok AS (SELECT doc_id, filter(split(lower(text), '[^a-z0-9]+'), "
+            f"t -> t != '') AS toks FROM {src})"
+        )
+    return (
+        f"tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
+        f"'[^a-z0-9]+'), t -> t <> '') AS toks FROM {src})"
+    )
+
+
+def _grams_cte(dialect: str) -> str:
+    """3-word shingles per doc, distinct (MinHash/Jaccard input)."""
+    if dialect == "spark":
+        return """
+grams AS (
+  SELECT DISTINCT doc_id, gram FROM tok
+  LATERAL VIEW explode(
+    CASE WHEN size(toks) >= 3
+         THEN transform(sequence(1, size(toks) - 2),
+              i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2)))
+         ELSE CAST(array() AS array<string>) END) g AS gram
+)"""
+    return """
+grams AS (
+  SELECT DISTINCT doc_id, u.gram AS gram FROM tok,
+  unnest(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+         i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2]))) AS u(gram)
+)"""
+
+
+def _h32(dialect: str, expr: str) -> str:
+    """Portable 32-bit hash: first 8 hex chars of md5 as BIGINT."""
+    if dialect == "spark":
+        return f"CAST(conv(substring(md5({expr}), 1, 8), 16, 10) AS BIGINT)"
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+def _vec_cte(dialect: str) -> str:
+    """embeddings as double lists + the fixed query vector (vec_id=0)."""
+    if dialect == "spark":
+        return """
+e AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS ev FROM embeddings),
+q AS (SELECT ev AS qv FROM e WHERE vec_id = 0)"""
+    return """
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev FROM embeddings),
+q AS (SELECT ev AS qv FROM e WHERE vec_id = 0)"""
+
+
+def _dot(dialect: str, a: str, b: str) -> str:
+    """Dot product of two equal-length double lists, summed left-to-
+    right in both engines (fp-identical)."""
+    if dialect == "spark":
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+            f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+    return f"list_dot_product({a}, {b})"
+
+
+def _cosine(dialect: str, a: str, b: str) -> str:
+    return (
+        f"round({_dot(dialect, a, b)} / "
+        f"(sqrt({_dot(dialect, a, a)}) * sqrt({_dot(dialect, b, b)})), 6)"
+    )
+
+
+# =====================================================================
+# COMMON_SQL — one string, both engines
+# =====================================================================
+
+COMMON_SQL: dict[str, str] = {}
+
+# F1 — taskid = md5(url) (libs/utils.py — md5string; base_handler.get_taskid)
+COMMON_SQL["crawl_taskid_md5"] = f"""
+WITH {FRONTIER_CTE}
+SELECT k, url, md5(url) AS taskid FROM frontier
+"""
+
+# F10 — host extraction (politeness key)
+COMMON_SQL["crawl_host_extract"] = f"""
+WITH {FRONTIER_CTE}
+SELECT k, regexp_extract(url, 'http://([^/]+)/', 1) AS host FROM frontier
+"""
+
+# P2/P3/P6 — schedulable candidates: ACTIVE, due, project RUNNING
+COMMON_SQL["crawl_candidates"] = f"""
+WITH {FRONTIER_CTE}
+SELECT k, url, host, priority, exetime, project FROM frontier
+WHERE status = 1 AND exetime <= {NOW} AND project IN ('p0', 'p1')
+"""
+
+# O1 — priority order per host (scheduler/task_queue.py — InQueueTask.__lt__)
+COMMON_SQL["crawl_priority_rank"] = f"""
+WITH {FRONTIER_CTE}
+SELECT k, host, priority,
+  row_number() OVER (PARTITION BY host
+                     ORDER BY priority DESC, exetime ASC, md5(url) ASC) AS rnk
+FROM frontier WHERE status = 1
+"""
+
+# O1+O2+O3 — stateless politeness round: per-host top-burst admission
+COMMON_SQL["crawl_politeness_topk"] = f"""
+WITH {FRONTIER_CTE},
+cand AS (
+  SELECT k, url, host, priority, exetime, md5(url) AS taskid FROM frontier
+  WHERE status = 1 AND exetime <= {NOW} AND project IN ('p0', 'p1')
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY host
+            ORDER BY priority DESC, exetime ASC, taskid ASC) AS rnk
+  FROM cand
+)
+SELECT k, host, url, priority, CAST(rnk - 1 AS INT) AS seq_in_host
+FROM ranked WHERE rnk <= {BURST}
+"""
+
+# J2 — URL-seen anti-join (taskdb.get_task dedup; bloom-verified path)
+COMMON_SQL["crawl_seen_antijoin"] = f"""
+WITH {FRONTIER_CTE}
+SELECT f.k, f.url FROM frontier f
+WHERE NOT EXISTS (
+  SELECT 1 FROM frontier s WHERE s.k % 2 = 0 AND s.url = f.url)
+"""
+
+# U1+A4 — follows union + duplicate collapse keeping max priority /
+# min exetime (scheduler/task_queue.py — PriorityTaskQueue.put dedup)
+COMMON_SQL["crawl_follows_collapse"] = """
+WITH f1 AS (
+  SELECT concat('http://host', l_suppkey % 50, '.example/p/', l_partkey) AS url,
+         CAST(l_linenumber AS INT) AS priority,
+         1767225600.0 + CAST(l_orderkey % 60 AS DOUBLE) AS exetime
+  FROM lineitem WHERE l_orderkey % 4 = 0
+),
+f2 AS (
+  SELECT concat('http://host', l_partkey % 50, '.example/p/', l_suppkey) AS url,
+         CAST(CAST(l_quantity AS INT) % 10 AS INT) AS priority,
+         1767225600.0 + CAST(l_partkey % 60 AS DOUBLE) AS exetime
+  FROM lineitem WHERE l_orderkey % 4 = 1
+),
+fol AS (SELECT * FROM f1 UNION ALL SELECT * FROM f2)
+SELECT md5(url) AS taskid, url, max(priority) AS priority,
+       min(exetime) AS exetime, count(*) AS dup_cnt
+FROM fol GROUP BY url
+"""
+
+# F8 — retry-delay map (scheduler/scheduler.py — DEFAULT_RETRY_DELAY)
+COMMON_SQL["crawl_retry_delay"] = f"""
+WITH {FRONTIER_CTE}
+SELECT k, retried,
+  CASE retried WHEN 0 THEN 30.0 WHEN 1 THEN 3600.0 WHEN 2 THEN 21600.0
+               WHEN 3 THEN 43200.0 ELSE 86400.0 END AS retry_delay_s
+FROM frontier
+"""
+
+# A1 — status_count (database/base/taskdb.py — status_count)
+COMMON_SQL["crawl_status_count"] = f"""
+WITH {FRONTIER_CTE}
+SELECT project, status, count(*) AS cnt FROM frontier GROUP BY project, status
+"""
+
+# J1 — fetch join: schedule ⋈ pages on url; miss ⇒ 404
+# (fetcher/tornado_fetcher.py — http_fetch / handle_error)
+COMMON_SQL["crawl_fetch_join"] = f"""
+WITH {FRONTIER_CTE},
+pages AS (
+  SELECT url, CAST(floor(totalprice) AS BIGINT) AS content_len
+  FROM frontier WHERE k % 3 != 0
+),
+sched AS (SELECT k, url FROM frontier WHERE k % 2 = 1)
+SELECT s.k, s.url,
+  CASE WHEN p.url IS NULL THEN 404 ELSE 200 END AS code,
+  coalesce(p.content_len, 0) AS content_len
+FROM sched s LEFT JOIN pages p ON s.url = p.url
+"""
+
+# F9 — cron ticks (base_handler.every / scheduler._check_cron):
+# due tick index k = floor(elapsed / tick); emit iff k > last-emitted.
+COMMON_SQL["crawl_cron_due"] = """
+WITH proj AS (
+  SELECT concat('proj_', n_name) AS project,
+         CAST((n_nationkey + 1) * 60 AS BIGINT) AS tick_s,
+         CAST(n_nationkey % 3 AS BIGINT) AS prev_k
+  FROM nation
+)
+SELECT project, tick_s,
+  CAST(floor(3600.0 / tick_s) AS BIGINT) AS due_k
+FROM proj
+WHERE CAST(floor(3600.0 / tick_s) AS BIGINT) > prev_k
+"""
+
+# O4 — processing-lease requeue: in-flight past lease re-emitted
+COMMON_SQL["crawl_lease_requeue"] = f"""
+WITH {FRONTIER_CTE}
+SELECT k, url, exetime + 600.0 AS lease_exp FROM frontier
+WHERE status = 1 AND k % 13 = 0 AND exetime + 600.0 < {T0 + 3600.0}
+"""
+
+# dedup: exact (hash-groupBy) over augmented docs
+COMMON_SQL["dedup_exact"] = f"""
+WITH {DOCS_AUG_CTE},
+h AS (SELECT doc_id, md5(text) AS text_hash FROM docs_aug)
+SELECT text_hash, min(doc_id) AS keeper, count(*) AS n_copies
+FROM h GROUP BY text_hash HAVING count(*) > 1
+"""
+
+
+# =====================================================================
+# PAIRED_SQL — same semantics, dialect-adjusted function names
+# =====================================================================
+
+def _paired(build: Callable[[str], str]) -> tuple[str, str]:
+    return build("spark"), build("duck")
+
+
+def _sql_event_windows(d: str) -> str:
+    # A2 — 5-minute tumbling counters (libs/counter.py windows); epoch
+    # built from date+time fields so it is identical whether Spark maps
+    # the parquet timestamp to TIMESTAMP or TIMESTAMP_NTZ (the session
+    # tz is pinned to UTC in register_views for the LTZ case).
+    if d == "spark":
+        epoch = (
+            "(CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS DOUBLE) * 86400.0"
+            " + hour(ts) * 3600.0 + minute(ts) * 60.0 + second(ts))"
+        )
+    else:
+        epoch = "epoch(ts)"
+    return f"""
+SELECT event_type,
+  CAST(floor({epoch} / 300.0) * 300 AS BIGINT) AS window_start,
+  count(*) AS cnt, round(sum(value), 4) AS sum_value
+FROM events GROUP BY event_type, CAST(floor({epoch} / 300.0) * 300 AS BIGINT)
+"""
+
+
+def _sql_token_count(d: str) -> str:
+    n = "size" if d == "spark" else "len"
+    dedup = "array_distinct" if d == "spark" else "list_distinct"
+    return f"""
+WITH {_tok_cte(d)}
+SELECT doc_id, CAST({n}(toks) AS BIGINT) AS n_tokens,
+       CAST({n}({dedup}(toks)) AS BIGINT) AS n_distinct
+FROM tok
+"""
+
+
+_STOP_EN = "('the', 'of', 'a', 'and', 'to', 'in')"
+
+
+def _sql_quality(d: str) -> str:
+    n = "size" if d == "spark" else "len"
+    flt = "filter" if d == "spark" else "list_filter"
+    tr = "transform" if d == "spark" else "list_transform"
+    if d == "spark":
+        sum_len = f"aggregate({tr}(toks, t -> length(t)), 0, (acc, x) -> acc + x)"
+    else:
+        sum_len = f"list_sum({tr}(toks, t -> length(t)))"
+    return f"""
+WITH {_tok_cte(d)},
+m AS (
+  SELECT doc_id, CAST({n}(toks) AS BIGINT) AS n_tokens,
+    CAST({sum_len} AS DOUBLE) AS tok_chars,
+    CAST({n}({flt}(toks, t -> t IN {_STOP_EN})) AS DOUBLE) AS stop_cnt
+  FROM tok
+)
+SELECT doc_id, n_tokens,
+  round(tok_chars / n_tokens, 6) AS avg_token_len,
+  round(stop_cnt / n_tokens, 6) AS stopword_ratio,
+  round(least(CAST(n_tokens AS DOUBLE), 100.0) / 100.0 * 0.5
+        + stop_cnt / n_tokens * 0.5, 6) AS quality_score
+FROM m WHERE n_tokens > 0
+"""
+
+
+_LANG_STOPS = {
+    "de": "('der', 'und', 'das', 'ist')",
+    "fr": "('les', 'une', 'est', 'dans')",
+    "es": "('los', 'una', 'que', 'por')",
+}
+
+
+def _sql_lang_id(d: str) -> str:
+    n = "size" if d == "spark" else "len"
+    flt = "filter" if d == "spark" else "list_filter"
+    cnt = {
+        lang: f"CAST({n}({flt}(toks, t -> t IN {words})) AS BIGINT)"
+        for lang, words in _LANG_STOPS.items()
+    }
+    cnt["en"] = f"CAST({n}({flt}(toks, t -> t IN {_STOP_EN})) AS BIGINT)"
+    return f"""
+WITH {_tok_cte(d)},
+c AS (
+  SELECT doc_id, {cnt['en']} AS en_c, {cnt['de']} AS de_c,
+         {cnt['fr']} AS fr_c, {cnt['es']} AS es_c
+  FROM tok
+)
+SELECT doc_id, en_c, de_c, fr_c, es_c,
+  CASE
+    WHEN de_c > en_c AND de_c > fr_c AND de_c > es_c THEN 'de'
+    WHEN fr_c > en_c AND fr_c > es_c THEN 'fr'
+    WHEN es_c > en_c THEN 'es'
+    ELSE 'en' END AS lang_guess
+FROM c
+"""
+
+
+def _sql_fingerprint(d: str) -> str:
+    # whitespace/punct-normalized md5 + min-shingle-hash fingerprint
+    rr = (
+        "regexp_replace(lower(text), '[^a-z0-9]+', ' ')"
+        if d == "spark"
+        else "regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')"
+    )
+    return f"""
+WITH {_tok_cte(d)}, {_grams_cte(d)},
+fp1 AS (SELECT doc_id, md5(trim({rr})) AS norm_md5 FROM documents),
+fp2 AS (SELECT doc_id, min(md5(gram)) AS min_gram_md5 FROM grams GROUP BY doc_id)
+SELECT fp1.doc_id AS doc_id, norm_md5, min_gram_md5
+FROM fp1 JOIN fp2 ON fp1.doc_id = fp2.doc_id
+"""
+
+
+_JACCARD_TAIL = """
+gc AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+  round(CAST(inter AS DOUBLE) / (ga.n + gb.n - inter), 6) AS jaccard
+FROM pairs
+JOIN gc ga ON doc_a = ga.doc_id JOIN gc gb ON doc_b = gb.doc_id
+WHERE CAST(inter AS DOUBLE) / (ga.n + gb.n - inter) >= 0.5
+"""
+
+
+def _sql_ngram_jaccard(d: str) -> str:
+    return f"WITH {DOCS_AUG_CTE}, {_tok_cte(d, 'docs_aug')}, {_grams_cte(d)},{_JACCARD_TAIL}"
+
+
+_MINHASH_SEEDS = list(range(8))
+
+
+def _sql_minhash_lsh(d: str) -> str:
+    sigs = ",\n   ".join(
+        f"min(md5(concat('{s}|', gram))) AS s{s}" for s in _MINHASH_SEEDS
+    )
+    return f"""
+WITH {DOCS_AUG_CTE}, {_tok_cte(d, 'docs_aug')}, {_grams_cte(d)},
+sigs AS (SELECT doc_id, {sigs} FROM grams GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, 0 AS band_id, md5(concat(s0, s1, s2, s3)) AS band_key FROM sigs
+  UNION ALL
+  SELECT doc_id, 1 AS band_id, md5(concat(s4, s5, s6, s7)) AS band_key FROM sigs
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+def _sql_simhash(d: str) -> str:
+    shift = (lambda i: f"shiftright(hv, {i})") if d == "spark" else (lambda i: f"(hv >> {i})")
+    bits = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN ({shift(i)} & 1) = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(16)
+    )
+    if d == "spark":
+        tok_rows = "SELECT doc_id, tok FROM tok LATERAL VIEW explode(toks) t AS tok"
+    else:
+        tok_rows = "SELECT doc_id, unnest(toks) AS tok FROM tok"
+    return f"""
+WITH {_tok_cte(d)},
+tr AS ({tok_rows}),
+hashed AS (SELECT doc_id, {_h32(d, 'tok')} AS hv FROM tr)
+SELECT doc_id, CAST({bits} AS BIGINT) AS simhash16
+FROM hashed GROUP BY doc_id
+"""
+
+
+def _sql_cosine_scores(d: str) -> str:
+    return f"""
+WITH {_vec_cte(d)}
+SELECT vec_id, {_cosine(d, 'ev', 'qv')} AS cosine
+FROM e CROSS JOIN q
+"""
+
+
+def _sql_cosine_topk(d: str) -> str:
+    return f"""
+WITH {_vec_cte(d)},
+scored AS (SELECT vec_id, {_cosine(d, 'ev', 'qv')} AS cosine FROM e CROSS JOIN q)
+SELECT vec_id, cosine,
+  row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS rnk
+FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
+
+def _sql_near_dup_vec(d: str) -> str:
+    return f"""
+WITH {_vec_cte(d)}
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {_cosine(d, 'a.ev', 'b.ev')} AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {_cosine(d, 'a.ev', 'b.ev')} >= 0.2
+"""
+
+
+_N_PLANES = 4
+_DIM = 64
+
+
+def _plane(p: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane (public-knowledge RHP-LSH;
+    integer-valued so literals are fp-exact in both engines)."""
+    return [float(((p * 31 + j * 17) % 7) - 3) for j in range(_DIM)]
+
+
+def _sql_lsh_buckets(d: str) -> str:
+    arr = "array" if d == "spark" else "list_value"
+    terms = []
+    for p in range(_N_PLANES):
+        lit = ", ".join(f"CAST({c} AS DOUBLE)" for c in _plane(p))
+        terms.append(
+            f"(CASE WHEN {_dot(d, 'ev', f'{arr}({lit})')} >= 0 THEN {1 << p} ELSE 0 END)"
+        )
+    return f"""
+WITH {_vec_cte(d)}
+SELECT vec_id, CAST({' + '.join(terms)} AS BIGINT) AS bucket
+FROM e
+"""
+
+
+def _sql_ivf_assign(d: str) -> str:
+    # IVF coarse quantization: assign each vector to the nearest of 8
+    # fixed centroids (vec_id 1..8) by cosine distance.
+    return f"""
+WITH {_vec_cte(d)},
+cents AS (SELECT vec_id AS cent_id, ev AS cv FROM e WHERE vec_id BETWEEN 1 AND 8),
+dists AS (
+  SELECT e.vec_id, cents.cent_id,
+         round(1.0 - {_cosine(d, 'e.ev', 'cents.cv')}, 6) AS dist
+  FROM e CROSS JOIN cents
+),
+ranked AS (
+  SELECT vec_id, cent_id, dist,
+    row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cent_id ASC) AS rn
+  FROM dists
+)
+SELECT vec_id, cent_id, dist FROM ranked WHERE rn = 1
+"""
+
+
+PAIRED_SQL: dict[str, tuple[str, str]] = {
+    "crawl_event_window_counts": _paired(_sql_event_windows),
+    "text_token_count": _paired(_sql_token_count),
+    "text_quality_score": _paired(_sql_quality),
+    "text_lang_id": _paired(_sql_lang_id),
+    "text_fingerprint": _paired(_sql_fingerprint),
+    "dedup_ngram_jaccard": _paired(_sql_ngram_jaccard),
+    "dedup_minhash_lsh": _paired(_sql_minhash_lsh),
+    "dedup_simhash": _paired(_sql_simhash),
+    "sim_cosine_scores": _paired(_sql_cosine_scores),
+    "sim_cosine_topk": _paired(_sql_cosine_topk),
+    "sim_near_dup_pairs": _paired(_sql_near_dup_vec),
+    "sim_lsh_buckets": _paired(_sql_lsh_buckets),
+    "sim_ivf_assign": _paired(_sql_ivf_assign),
+}
+
+
+# =====================================================================
+# CUSTOM — Spark-side Python (kernels / grouped-pandas / engine)
+# =====================================================================
+
+def _frontier_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(f"WITH {FRONTIER_CTE} SELECT * FROM frontier")
+
+
+def q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 — the real canonicalization kernel (pandas UDF) over noisy
+    url variants; oracle computes the expected canonical form directly."""
+    from pyspark.sql.types import StringType
+
+    from pyspider_spark.kernels.canon import canonicalize_series
+
+    canon_udf = F.pandas_udf(canonicalize_series, StringType())
+    fr = _frontier_df(spark, sf_dir)
+    raw = fr.select(
+        "k",
+        F.when(F.col("k") % 4 == 1,
+               F.concat(F.lit("http://"), F.upper("host"), F.lit(":80/o/"), F.col("k")))
+        .when(F.col("k") % 4 == 2, F.concat("url", F.lit("?b=2&a=1")))
+        .when(F.col("k") % 4 == 3, F.concat("url", F.lit("#frag")))
+        .otherwise(F.col("url"))
+        .alias("raw_url"),
+    )
+    return raw.select("k", canon_udf("raw_url").alias("canon_url"))
+
+
+ORACLE_URL_CANON = f"""
+WITH {FRONTIER_CTE}
+SELECT k,
+  CASE WHEN k % 4 = 2 THEN concat(url, '?a=1&b=2') ELSE url END AS canon_url
+FROM frontier
+"""
+
+
+def q_schedule_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O2/O3 — the engine's real salted applyInPandas politeness
+    pass from a cold host_state; from a full bucket the admitted set
+    equals the SQL per-host top-⌊burst⌋ in O1 order (the oracle)."""
+    from pyspider_spark.config import RoundConfig
+    from pyspider_spark.engine import schema as S
+    from pyspider_spark.engine.politeness import schedule_round
+
+    cfg = RoundConfig(rate=1.0, burst=float(BURST), n_partitions=4)
+    fr = _frontier_df(spark, sf_dir)
+    cands = fr.filter(
+        (F.col("status") == 1)
+        & (F.col("exetime") <= F.lit(NOW))
+        & F.col("project").isin("p0", "p1")
+    ).select(
+        F.lit("test").alias("project"),
+        F.md5("url").alias("taskid"),
+        "url",
+        F.col("url").alias("canon_url"),
+        "host",
+        "priority",
+        "exetime",
+        F.lit(-1.0).alias("age"),
+        F.lit(False).alias("auto_recrawl"),
+        F.lit("index_page").alias("callback"),
+        F.lit(3).alias("retries_left"),
+        F.col("k"),
+    )
+    robots = S.empty_df(spark, "host string, robots_txt string")
+    host_state = S.empty_df(spark, S.HOST_STATE_SCHEMA)
+    sched, _blocked = schedule_round(
+        cands.drop("k"), robots, host_state, cfg, NOW
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("host").orderBy(
+        F.desc("priority"), F.asc("exetime"), F.asc("taskid")
+    )
+    out = sched.join(cands.select("taskid", "k"), "taskid").select(
+        "k",
+        "host",
+        F.col("canon_url").alias("url"),
+        "priority",
+        (F.row_number().over(w) - 1).cast("int").alias("seq_in_host"),
+    )
+    return out
+
+
+def q_bloom_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 rows-only — partitioned numpy bloom kernel probe: per
+    partition insert even-k urls, probe all; report exact counts.
+    Bloom has no false negatives ⇒ hits ≥ n_even per partition."""
+    import pandas as pd
+
+    from pyspider_spark.kernels.bloom import BloomFilter
+
+    fr = _frontier_df(spark, sf_dir).select(
+        "k",
+        F.md5("url").alias("taskid"),
+        F.pmod(F.crc32(F.col("url").cast("binary")), F.lit(8)).cast("int").alias("pid"),
+    )
+
+    def probe(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        bf = BloomFilter(m_bits=1 << 18, k=7)
+        even = pdf[pdf["k"] % 2 == 0]["taskid"]
+        bf.add_many(even)
+        hits = bf.contains_many(pdf["taskid"])
+        return pd.DataFrame(
+            {
+                "pid": [int(key[0])],
+                "n_rows": [len(pdf)],
+                "n_inserted": [len(even)],
+                "n_hits": [int(hits.sum())],
+                "n_false_pos": [int(hits.sum()) - len(even)],
+            }
+        )
+
+    return (
+        fr.groupBy("pid")
+        .applyInPandas(
+            probe,
+            "pid int, n_rows long, n_inserted long, n_hits long, n_false_pos long",
+        )
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing rows-only — binary payload column through a
+    mapInPandas feature extractor (decode stubbed deterministically)."""
+    from pyspider_spark.ops.multimodal import extract_features
+
+    register_views(spark, sf_dir)
+    docs = spark.sql(
+        "SELECT doc_id, CAST(encode(text, 'utf-8') AS BINARY) AS payload, "
+        "'image/fake' AS mime FROM documents"
+    )
+    return extract_features(docs)
+
+
+def entry_df(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """Flagship: the scheduling core end-to-end as one declarative plan —
+    derived frontier → candidates (P2/P3/P6) → per-host politeness cut
+    (O1/O2) → fetch join (J1) → per-host crawl-order log (schedule_log)."""
+    register_views(spark, sf_dir)
+    return spark.sql(f"""
+WITH {FRONTIER_CTE},
+cand AS (
+  SELECT k, url, host, priority, exetime, md5(url) AS taskid FROM frontier
+  WHERE status = 1 AND exetime <= {NOW} AND project IN ('p0', 'p1')
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY host
+            ORDER BY priority DESC, exetime ASC, taskid ASC) AS rnk
+  FROM cand
+),
+sched AS (SELECT * FROM ranked WHERE rnk <= {BURST}),
+pages AS (
+  SELECT url, CAST(floor(totalprice) AS BIGINT) AS content_len
+  FROM frontier WHERE k % 3 != 0
+)
+SELECT s.k, s.host, s.url, s.priority, CAST(s.rnk - 1 AS INT) AS seq_in_host,
+  CASE WHEN p.url IS NULL THEN 404 ELSE 200 END AS code,
+  coalesce(p.content_len, 0) AS content_len
+FROM sched s LEFT JOIN pages p ON s.url = p.url
+""")
+
+
+# =====================================================================
+# Registry assembly
+# =====================================================================
+
+def _common_runner(sql: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(sql)
+
+    return run
+
+
+CUSTOM: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "crawl_url_canon": (q_url_canon, ORACLE_URL_CANON),
+    "crawl_schedule_stateful": (
+        q_schedule_stateful,
+        COMMON_SQL["crawl_politeness_topk"],
+    ),
+    "crawl_bloom_seen": (q_bloom_seen, None),
+    "mm_decode_features": (q_multimodal_features, None),
+}
+
+
+def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, sql in COMMON_SQL.items():
+        out[name] = _common_runner(sql)
+    for name, (spark_sql, _duck) in PAIRED_SQL.items():
+        out[name] = _common_runner(spark_sql)
+    for name, (fn, _oracle) in CUSTOM.items():
+        out[name] = fn
+    return out
+
+
+def build_oracles() -> dict[str, str]:
+    out: dict[str, str] = dict(COMMON_SQL)
+    for name, (_spark_sql, duck) in PAIRED_SQL.items():
+        out[name] = duck
+    for name, (_fn, oracle) in CUSTOM.items():
+        if oracle is not None:
+            out[name] = oracle
+    return out
