@@ -1,0 +1,225 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + scaling evidence).
+
+Default mode — run by the driver per round — times every contract query
+from ``pyspider_spark.contract`` plus a 3-round crawl of a synthetic
+web derived from the sf dir's ``orders`` table, and prints ONE JSON
+line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": 0.1, ...}
+
+Inputs come from ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1)
+on ``local[$SPARK_GRAFT_CPUS]``.
+
+Scaling mode (``--scaling``) — the sandbox substitute for the north
+rule's N→4N-executor criterion: runs the SAME crawl job on the SAME
+input in fresh subprocesses at ``local[8]`` and ``local[32]`` and
+reports throughput at both plus efficiency = (T8/T32)/4.
+
+Usage:
+    python bench.py                    # driver mode, one JSON line
+    python bench.py --scaling          # local[8] vs local[32] report
+    python bench.py --crawl-only --cores 8   # one crawl leg (subprocess)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, ROOT)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CACHE_ROOT = os.path.join(ROOT, ".bench_cache")
+
+CRAWL_ROUNDS = 3
+N_HOSTS = 500
+
+
+def _sf_of(sf_dir: str) -> float:
+    name = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _spark(cores: int):
+    from pyspider_spark.engine.session import get_spark
+
+    return get_spark(cores=cores, app_name=f"bench_local{cores}")
+
+
+def ensure_fixtures(spark, sf_dir: str, mult: int = 1) -> str:
+    """Synthesize (once, cached) the bench web for this sf dir. Seed
+    count scales with the keyspace so round sizes reach ~10^5 at sf0.1
+    (BASELINE.md protocol: one round ≥ 30 s at local[8]); ``mult``
+    multiplies the keyspace for the scaling measurement, where per-round
+    compute must dominate fixed per-round overhead."""
+    import pyarrow.parquet as pq
+
+    n_keys = pq.ParquetFile(os.path.join(sf_dir, "orders.parquet")).metadata.num_rows * mult
+    n_seeds = max(1000, n_keys // 30)
+    out = os.path.join(CACHE_ROOT, f"{os.path.basename(sf_dir.rstrip('/'))}_m{mult}")
+    marker = os.path.join(out, "_DONE")
+    tag = f"hosts={N_HOSTS},seeds={n_seeds},keys={n_keys}"
+    if not (os.path.exists(marker) and open(marker).read() == tag):
+        from pyspider_spark.bench.webgen import materialize
+
+        shutil.rmtree(out, ignore_errors=True)
+        materialize(spark, sf_dir, out, n_hosts=N_HOSTS, n_seeds=n_seeds, mult=mult)
+        with open(marker, "w") as f:
+            f.write(tag)
+    return out
+
+
+def run_queries(spark, sf_dir: str) -> dict[str, float]:
+    """Time each contract query end-to-end (noop sink forces the full
+    plan including all columns — no count()-style column pruning)."""
+    from pyspider_spark.contract import build_queries
+
+    times: dict[str, float] = {}
+    for name, fn in build_queries().items():
+        t = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t, 3)
+    return times
+
+
+def run_crawl(spark, fixtures_dir: str, rounds: int = CRAWL_ROUNDS, mult: int = 1) -> dict:
+    """Fresh-state crawl of `rounds` rounds; returns wall + URL totals."""
+    from pyspider_spark.config import RoundConfig
+    from pyspider_spark.engine.round import CrawlEngine
+
+    state = os.path.join(fixtures_dir, f"state_{os.getpid()}")
+    shutil.rmtree(state, ignore_errors=True)
+    cfg = RoundConfig(
+        rate=200.0 * mult, burst=200.0 * mult, n_partitions=32, round_budget=5_000_000
+    )
+    eng = CrawlEngine(
+        spark,
+        state,
+        cfg,
+        pages_path=os.path.join(fixtures_dir, "pages.parquet"),
+        projects_path=os.path.join(fixtures_dir, "projects.parquet"),
+        robots_path=os.path.join(fixtures_dir, "robots.parquet"),
+    )
+    seeds = spark.read.parquet(os.path.join(fixtures_dir, "seeds.parquet"))
+    t = time.time()
+    metrics = eng.run_rounds(rounds, seeds=seeds)
+    wall = time.time() - t
+    shutil.rmtree(state, ignore_errors=True)
+    urls = sum(m["scheduled"] for m in metrics)
+    extracted = sum(m["ok"] for m in metrics)
+    # steady state = rounds 1.. (round 0 is the seed warm-up round;
+    # BASELINE.md protocol excludes it), per-round wall from metrics
+    steady = metrics[1:] if len(metrics) > 1 else metrics
+    s_urls = sum(m["scheduled"] for m in steady)
+    s_wall = sum(m["wall_s"] for m in steady)
+    return {
+        "wall_s": round(wall, 3),
+        "urls_scheduled": urls,
+        "urls_extracted": extracted,
+        "urls_per_sec": round(urls / wall, 1) if wall > 0 else 0.0,
+        "steady_urls": s_urls,
+        "steady_wall_s": round(s_wall, 3),
+        "steady_urls_per_sec": round(s_urls / s_wall, 1) if s_wall > 0 else 0.0,
+        "rounds": [
+            {k: m[k] for k in ("round", "scheduled", "ok", "failed", "new_urls", "frontier")}
+            for m in metrics
+        ],
+    }
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--crawl-only", action="store_true")
+    ap.add_argument("--queries-only", action="store_true")
+    ap.add_argument("--rounds", type=int, default=CRAWL_ROUNDS)
+    ap.add_argument("--pages-mult", type=int, default=1, help="keyspace multiplier for the bench web")
+    ap.add_argument("--scaling", action="store_true", help="run crawl at local[8] and local[32], report efficiency")
+    args = ap.parse_args(argv)
+
+    if args.scaling:
+        return run_scaling(args.sf_dir, mult=max(args.pages_mult, 6))
+
+    spark = _spark(args.cores)
+    out: dict = {
+        "metric": "contract queries + 3-round crawl wall time",
+        "unit": "sec",
+        "sf": _sf_of(args.sf_dir),
+        "cores": args.cores,
+        "queries": {},
+    }
+    total = 0.0
+    if not args.crawl_only:
+        qt = run_queries(spark, args.sf_dir)
+        out["queries"].update(qt)
+        total += sum(qt.values())
+    if not args.queries_only:
+        fx = ensure_fixtures(spark, args.sf_dir, mult=args.pages_mult)
+        crawl = run_crawl(spark, fx, rounds=args.rounds, mult=args.pages_mult)
+        out["queries"]["crawl_rounds"] = crawl["wall_s"]
+        out["crawl"] = crawl
+        total += crawl["wall_s"]
+    out["value"] = round(total, 3)
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
+def run_scaling(sf_dir: str, mult: int = 6) -> int:
+    """North-rule scaling evidence: same job, same input, two
+    parallelism levels in fresh JVMs. efficiency = (ups_32/ups_8)/4.
+    Uses a `mult`-times-larger web so per-round compute dominates fixed
+    per-round overhead (the regime the 10^10-URL design point lives in)."""
+    results = {}
+    for cores in (8, 32):
+        cmd = [
+            sys.executable,
+            os.path.abspath(__file__),
+            "--crawl-only",
+            "--cores",
+            str(cores),
+            "--sf-dir",
+            sf_dir,
+            "--rounds",
+            "4",
+            "--pages-mult",
+            str(mult),
+        ]
+        p = subprocess.run(cmd, capture_output=True, text=True, check=True)
+        line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
+        results[cores] = json.loads(line)
+    u8 = results[8]["crawl"]["steady_urls_per_sec"]
+    u32 = results[32]["crawl"]["steady_urls_per_sec"]
+    eff = (u32 / u8) / 4 if u8 > 0 else 0.0
+    report = {
+        "metric": "crawl scaling efficiency local[8] -> local[32]",
+        "unit": "ratio",
+        "sf": _sf_of(sf_dir),
+        "pages_mult": mult,
+        "t_local8_s": results[8]["crawl"]["wall_s"],
+        "t_local32_s": results[32]["crawl"]["wall_s"],
+        "steady_urls_per_sec_local8": u8,
+        "steady_urls_per_sec_local32": u32,
+        "value": round(eff, 3),
+        "speedup": round(u32 / u8, 2) if u8 > 0 else 0.0,
+        "legs": {str(c): results[c]["crawl"] for c in (8, 32)},
+    }
+    print(json.dumps(report))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,174 @@
+"""Distributed synthetic-web generation for the crawl benchmark.
+
+Derives a deterministic pages/seeds/projects/robots fixture set from the
+driver's ``orders`` table (dense ``o_orderkey`` 0..K-1), entirely with
+JVM-side column expressions — no driver loop, no Python in the hot path
+— so generation itself scales with the input (the same expressions
+would synthesize a 10^10-page web from a 10^10-row key table).
+
+Workload shape (mirrors FIXTURES.md §1 and the reference bench harness
+``pyspider/libs/bench.py — bench_test_10x100`` link-tree idea):
+
+- one page per orderkey; host = pure function of the key, with a
+  deliberate **hot host**: every 10th page lands on ``host0.example``
+  (~10% of the web on one host — the skew/salting scenario,
+  BASELINE.json:14 "skew handled explicitly");
+- each page's HTML embeds absolute links to other keys (always
+  resolvable), one relative link (usually a cross-host 404 — the fetch
+  miss path), and one duplicate link (within-page dedup);
+- ``text`` is the golden extraction of ``html`` (computed with the same
+  Arrow UDF the engine uses — byte-identity invariant preserved).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+T0 = 1_767_225_600.0  # 2026-01-01T00:00:00Z
+
+LINK_OFFSETS = (1, 17, 257, 4097, 65537)  # absolute in-web links per page
+
+
+def _host_of(k: Column, n_hosts: int) -> Column:
+    """Deterministic host assignment with a 10% hot host (host0)."""
+    return F.when(k % 10 == 0, F.lit("host0.example")).otherwise(
+        F.concat(
+            F.lit("host"),
+            F.pmod(F.xxhash64(k), F.lit(n_hosts)).cast("string"),
+            F.lit(".example"),
+        )
+    )
+
+
+def _url_of(k: Column, n_hosts: int) -> Column:
+    return F.concat(F.lit("http://"), _host_of(k, n_hosts), F.lit("/o/"), k.cast("string"))
+
+
+def _keyspace(spark: SparkSession, sf_dir: str, mult: int) -> tuple[DataFrame, int]:
+    """Dense key column 0..K*mult-1 from orders (mult pages per order
+    row — lets the bench web outgrow the driver tables without any
+    driver-side generation loop)."""
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    n = orders.count() * mult  # o_orderkey is dense 0..count-1
+    df = orders.select(
+        F.col("o_orderkey").alias("base"),
+        F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("m"),
+    ).select((F.col("base") * mult + F.col("m")).alias("k"))
+    return df, n
+
+
+def synth_pages(spark: SparkSession, sf_dir: str, n_hosts: int, mult: int = 1) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) from the orders keyspace."""
+    from pyspider_spark.engine.fetchx import extract_udf
+
+    k = F.col("k")
+    df, n = _keyspace(spark, sf_dir, mult)
+
+    anchors = []
+    for j in LINK_OFFSETS:
+        tgt = _url_of((k + F.lit(j)) % F.lit(n), n_hosts)
+        anchors.append(F.concat(F.lit('<a href="'), tgt, F.lit('">x</a>')))
+    # duplicate of the first link (within-page dedup scenario)
+    anchors.append(
+        F.concat(F.lit('<a href="'), _url_of((k + F.lit(LINK_OFFSETS[0])) % F.lit(n), n_hosts), F.lit('">x</a>'))
+    )
+    # relative link — resolves on the page's own host; its target usually
+    # lives on another host, so this is the 404 fetch-miss scenario
+    anchors.append(
+        F.concat(F.lit('<a href="/o/'), ((k + F.lit(3)) % F.lit(n)).cast("string"), F.lit('">r</a>'))
+    )
+
+    body = F.concat(
+        F.lit("<p>order page "),
+        k.cast("string"),
+        F.lit(" "),
+        F.repeat(F.lit("lorem ipsum dolor sit amet "), (k % 5 + 1).cast("int")),
+        F.lit("</p>"),
+    )
+    html_str = F.concat(
+        F.lit('<html><head><meta charset="utf-8"><title>bench '),
+        k.cast("string"),
+        F.lit("</title></head><body>"),
+        body,
+        *anchors,
+        F.lit("</body></html>"),
+    )
+    url = _url_of(k, n_hosts)
+    pages = df.select(
+        url.alias("url"),
+        F.timestamp_seconds(F.lit(T0) + (k % 86400).cast("double")).alias("warc_ts"),
+        F.encode(html_str, "utf-8").alias("html"),
+    )
+    ext = extract_udf(F.col("html"), F.col("url"))
+    return pages.select(
+        "url",
+        "warc_ts",
+        "html",
+        ext.getField("text").alias("text"),
+        F.when(F.col("url").substr(-1, 1).isin("0", "7"), F.lit("de"))
+        .otherwise(F.lit("en"))
+        .alias("lang"),
+    )
+
+
+def synth_seeds(
+    spark: SparkSession, sf_dir: str, n_hosts: int, n_seeds: int, mult: int = 1
+) -> DataFrame:
+    k = F.col("k")
+    df, _n = _keyspace(spark, sf_dir, mult)
+    return (
+        df.filter(k < n_seeds)
+        .select(
+            _url_of(k, n_hosts).alias("url"),
+            F.lit("bench").alias("project"),
+            (k % 10).cast("int").alias("priority"),
+            F.lit(0.0).alias("exetime"),
+            F.lit(-1.0).alias("age"),
+            F.lit(None).cast("string").alias("itag"),
+            F.lit(False).alias("force_update"),
+            F.lit(False).alias("auto_recrawl"),
+            F.lit("index_page").alias("callback"),
+        )
+    )
+
+
+def synth_projects(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [("bench", "RUNNING", 50.0, 50.0, 0.0, "default_extractor")],
+        "project string, status string, rate double, burst double, "
+        "min_tick double, script_ref string",
+    )
+
+
+def synth_robots(spark: SparkSession) -> DataFrame:
+    """A handful of real robots rows so the J4 gate does real work:
+    host1 disallows the /o/13* prefix; host2 has an empty (allow-all)
+    robots; everyone else has no row (allow by default)."""
+    rows = [
+        ("host1.example", "User-agent: *\nDisallow: /o/13"),
+        ("host2.example", ""),
+        ("host3.example", "User-agent: *\nAllow: /"),
+    ]
+    return spark.createDataFrame(rows, "host string, robots_txt string")
+
+
+def materialize(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    n_hosts: int = 500,
+    n_seeds: int = 1000,
+    mult: int = 1,
+) -> dict[str, str]:
+    """Write the fixture set once; cached across bench runs (pure
+    function of sf_dir contents + parameters)."""
+    os.makedirs(out_dir, exist_ok=True)
+    paths = {t: os.path.join(out_dir, f"{t}.parquet") for t in ("pages", "seeds", "projects", "robots")}
+    synth_pages(spark, sf_dir, n_hosts, mult).write.mode("overwrite").parquet(paths["pages"])
+    synth_seeds(spark, sf_dir, n_hosts, n_seeds, mult).write.mode("overwrite").parquet(paths["seeds"])
+    synth_projects(spark).coalesce(1).write.mode("overwrite").parquet(paths["projects"])
+    synth_robots(spark).coalesce(1).write.mode("overwrite").parquet(paths["robots"])
+    return paths

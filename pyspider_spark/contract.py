@@ -508,12 +508,20 @@ FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10
 
 
 def _sql_near_dup_vec(d: str) -> str:
+    # O(N) pre-normalization, then ONE dot per pair — the naive form
+    # (cosine per pair = 3 dots, evaluated twice for SELECT + WHERE)
+    # cost ~12x more array folds over the N^2 pair space.
+    xf = "transform" if d == "spark" else "list_transform"
     return f"""
-WITH {_vec_cte(d)}
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       {_cosine(d, 'a.ev', 'b.ev')} AS cosine
-FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE {_cosine(d, 'a.ev', 'b.ev')} >= 0.2
+WITH {_vec_cte(d)},
+n0 AS (SELECT vec_id, ev, sqrt({_dot(d, 'ev', 'ev')}) AS nrm FROM e),
+n AS (SELECT vec_id, {xf}(ev, x -> x / nrm) AS nv FROM n0),
+scored AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round({_dot(d, 'a.nv', 'b.nv')}, 6) AS cosine
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= 0.2
 """
 
 
@@ -573,7 +581,6 @@ PAIRED_SQL: dict[str, tuple[str, str]] = {
     "dedup_simhash": _paired(_sql_simhash),
     "sim_cosine_scores": _paired(_sql_cosine_scores),
     "sim_cosine_topk": _paired(_sql_cosine_topk),
-    "sim_near_dup_pairs": _paired(_sql_near_dup_vec),
     "sim_lsh_buckets": _paired(_sql_lsh_buckets),
     "sim_ivf_assign": _paired(_sql_ivf_assign),
 }
@@ -716,6 +723,32 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(docs)
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize plumbing rows-only — binary in, binary out via
+    mapInPandas (decode/encode stubbed deterministically)."""
+    from pyspider_spark.ops.multimodal import resize_batch
+
+    register_views(spark, sf_dir)
+    docs = spark.sql(
+        "SELECT doc_id, CAST(encode(text, 'utf-8') AS BINARY) AS payload, "
+        "'image/fake' AS mime FROM documents"
+    )
+    return resize_batch(docs, target=(224, 224))
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sample plumbing rows-only — one row per sampled
+    frame, exploded inside the Arrow batch."""
+    from pyspider_spark.ops.multimodal import sample_frames_batch
+
+    register_views(spark, sf_dir)
+    docs = spark.sql(
+        "SELECT doc_id, CAST(encode(text, 'utf-8') AS BINARY) AS payload, "
+        "'video/fake' AS mime FROM documents"
+    )
+    return sample_frames_batch(docs, every_n=10)
+
+
 def entry_df(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the scheduling core end-to-end as one declarative plan —
     derived frontier → candidates (P2/P3/P6) → per-host politeness cut
@@ -756,14 +789,27 @@ def _common_runner(sql: str) -> Callable[[SparkSession, str], DataFrame]:
     return run
 
 
+def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup, numpy block-matmul kernel (ops/
+    similarity.py) — same pair set as the SQL self-join oracle, each
+    pair one fused BLAS op instead of an interpreted array fold."""
+    from pyspider_spark.ops.similarity import near_dup_pairs
+
+    register_views(spark, sf_dir)
+    return near_dup_pairs(spark, spark.table("embeddings"), threshold=0.2)
+
+
 CUSTOM: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "crawl_url_canon": (q_url_canon, ORACLE_URL_CANON),
+    "sim_near_dup_pairs": (q_near_dup_pairs, _sql_near_dup_vec("duck")),
     "crawl_schedule_stateful": (
         q_schedule_stateful,
         COMMON_SQL["crawl_politeness_topk"],
     ),
     "crawl_bloom_seen": (q_bloom_seen, None),
     "mm_decode_features": (q_multimodal_features, None),
+    "mm_resize": (q_multimodal_resize, None),
+    "mm_frame_sample": (q_multimodal_frames, None),
 }
 
 

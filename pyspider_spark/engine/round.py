@@ -121,9 +121,13 @@ class CrawlEngine:
             )
             raw = raw.unionByName(ensure_raw_columns(cron_df))
 
-        upd_all = normalize_updates(raw, cfg)
+        # persist: cancels/probe/merge all branch off this pipeline — the
+        # normalize (Python mapInPandas) + collapse (shuffle) must run once.
+        upd_all = normalize_updates(raw, cfg).persist(StorageLevel.MEMORY_AND_DISK)
         cancels = upd_all.filter(F.col("cancel")).dropDuplicates(["seen_k"])
-        upd = collapse_updates(upd_all.filter(~F.col("cancel")))
+        upd = collapse_updates(upd_all.filter(~F.col("cancel"))).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
 
         # --- seen probe: materialized eagerly so the deterministic blob
         # writes happen exactly once per round attempt (J2/J3).
@@ -340,7 +344,7 @@ class CrawlEngine:
                 },
             }
         )
-        for df in (fr2, sched, blocked, fetched):
+        for df in (fr2, sched, blocked, fetched, upd_all, upd):
             df.unpersist()
         return {
             "round": r,

@@ -46,6 +46,38 @@ def decode_image(payload: bytes, mime: str, fake: bool = True) -> tuple[int, int
     return 16 + h[0] % 240, 16 + h[1] % 240, 1 + h[2] % 4
 
 
+def resize_image(
+    payload: bytes, mime: str, target: tuple[int, int], fake: bool = True
+) -> bytes:
+    """Return the re-encoded resized payload.
+
+    ``fake=True`` emits a deterministic surrogate (sha1 of payload +
+    target box) so batch shape / byte round-trip is exercised;
+    ``fake=False`` is the production hook (PIL ``Image.resize``)."""
+    if not fake:
+        raise NotImplementedError("real resize requires PIL — plug in here")
+    tag = f"{target[0]}x{target[1]}".encode()
+    return hashlib.sha1(payload + tag).digest() + tag
+
+
+def sample_frames(
+    payload: bytes, mime: str, every_n: int = 10, fake: bool = True
+) -> list[bytes]:
+    """Frame-sample a video payload: every ``every_n``-th frame.
+
+    ``fake=True`` derives a deterministic frame count (payload hash) and
+    returns surrogate frame payloads; ``fake=False`` is the production
+    hook (ffmpeg/pyav)."""
+    if not fake:
+        raise NotImplementedError("real frame sampling requires ffmpeg/pyav")
+    h = hashlib.sha1(payload).digest()
+    n_frames = 1 + h[3] % 120
+    return [
+        hashlib.sha1(payload + i.to_bytes(4, "big")).digest()
+        for i in range(0, n_frames, every_n)
+    ]
+
+
 def extract_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """mapInPandas feature extraction over a binary column.
 
@@ -69,3 +101,50 @@ def extract_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             )
 
     return df.mapInPandas(fn, FEATURE_SCHEMA)
+
+
+def resize_batch(
+    df: DataFrame, target: tuple[int, int] = (224, 224), payload_col: str = "payload"
+) -> DataFrame:
+    """mapInPandas resize over a binary column → (doc_id, mime, resized
+    binary, width, height). Bytes stay in Arrow buffers executor-side."""
+    w, h = int(target[0]), int(target[1])
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "mime": pdf["mime"],
+                    "resized": [
+                        resize_image(bytes(p), m, (w, h))
+                        for p, m in zip(pdf[payload_col], pdf["mime"])
+                    ],
+                    "width": w,
+                    "height": h,
+                }
+            )
+
+    return df.mapInPandas(
+        fn, "doc_id long, mime string, resized binary, width int, height int"
+    )
+
+
+def sample_frames_batch(
+    df: DataFrame, every_n: int = 10, payload_col: str = "payload"
+) -> DataFrame:
+    """mapInPandas frame sampling → one row per sampled frame
+    (doc_id, frame_idx, frame binary) — the explode happens inside the
+    batch so frame bytes never transit the driver."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for did, p in zip(pdf["doc_id"], pdf[payload_col]):
+                for i, fr in enumerate(sample_frames(bytes(p), "", every_n)):
+                    ids.append(int(did))
+                    idxs.append(i * every_n)
+                    frames.append(fr)
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return df.mapInPandas(fn, "doc_id long, frame_idx int, frame binary")
