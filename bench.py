@@ -69,10 +69,10 @@ def ensure_fixtures(spark, sf_dir: str, mult: int = 1) -> str:
     n_seeds = max(1000, n_keys // 30)
     out = os.path.join(CACHE_ROOT, f"{os.path.basename(sf_dir.rstrip('/'))}_m{mult}")
     marker = os.path.join(out, "_DONE")
-    tag = f"hosts={N_HOSTS},seeds={n_seeds},keys={n_keys}"
-    if not (os.path.exists(marker) and open(marker).read() == tag):
-        from pyspider_spark.bench.webgen import materialize
+    from pyspider_spark.bench.webgen import GEN_VERSION, materialize
 
+    tag = f"v{GEN_VERSION},hosts={N_HOSTS},seeds={n_seeds},keys={n_keys}"
+    if not (os.path.exists(marker) and open(marker).read() == tag):
         shutil.rmtree(out, ignore_errors=True)
         materialize(spark, sf_dir, out, n_hosts=N_HOSTS, n_seeds=n_seeds, mult=mult)
         with open(marker, "w") as f:
@@ -102,7 +102,7 @@ def run_crawl(spark, fixtures_dir: str, rounds: int = CRAWL_ROUNDS, mult: int = 
     state = os.path.join(fixtures_dir, f"state_{os.getpid()}")
     shutil.rmtree(state, ignore_errors=True)
     cfg = RoundConfig(
-        rate=200.0 * mult, burst=200.0 * mult, n_partitions=32, round_budget=5_000_000
+        rate=200.0 * mult, burst=200.0 * mult, n_partitions=32, round_budget=None
     )
     eng = CrawlEngine(
         spark,

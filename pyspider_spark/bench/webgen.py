@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 T0 = 1_767_225_600.0  # 2026-01-01T00:00:00Z
 
 LINK_OFFSETS = (1, 17, 257, 4097, 65537)  # absolute in-web links per page
+GEN_VERSION = 2  # bump to invalidate cached bench fixtures
 
 
 def _host_of(k: Column, n_hosts: int) -> Column:
@@ -75,10 +76,25 @@ def synth_pages(spark: SparkSession, sf_dir: str, n_hosts: int, mult: int = 1) -
     anchors.append(
         F.concat(F.lit('<a href="'), _url_of((k + F.lit(LINK_OFFSETS[0])) % F.lit(n), n_hosts), F.lit('">x</a>'))
     )
-    # relative link — resolves on the page's own host; its target usually
-    # lives on another host, so this is the 404 fetch-miss scenario
+    # every 7th page carries a relative link — resolves on the page's
+    # own host, where its target usually lives on another host: the 404
+    # fetch-miss scenario (~7% of follows); other pages get one more
+    # valid absolute link, keeping extraction the dominant compute
     anchors.append(
-        F.concat(F.lit('<a href="/o/'), ((k + F.lit(3)) % F.lit(n)).cast("string"), F.lit('">r</a>'))
+        F.when(
+            k % 7 == 0,
+            F.concat(
+                F.lit('<a href="/o/'),
+                ((k + F.lit(3)) % F.lit(n)).cast("string"),
+                F.lit('">r</a>'),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit('<a href="'),
+                _url_of((k + F.lit(31)) % F.lit(n), n_hosts),
+                F.lit('">x</a>'),
+            )
+        )
     )
 
     body = F.concat(

@@ -44,7 +44,7 @@ class RoundConfig:
     dt: float = 1.0  # seconds of logical time per round
     rate: float = 1.0  # token-bucket refill tokens/sec per host
     burst: float = 10.0  # token-bucket capacity per host
-    round_budget: int = 100_000  # global cap per round (LOOP_LIMIT analog)
+    round_budget: int | None = 100_000  # global cap per round (LOOP_LIMIT analog); None = unbounded
     max_retries: int = DEFAULT_RETRIES
     lease: float = 600.0  # processing lease seconds (O4)
     n_partitions: int = 8  # bucket(host) partition count for seen-state

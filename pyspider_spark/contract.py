@@ -305,6 +305,23 @@ SELECT k, url, exetime + 600.0 AS lease_exp FROM frontier
 WHERE status = 1 AND k % 13 = 0 AND exetime + 600.0 < {T0 + 3600.0}
 """
 
+# S6 — resultdb select with stable offset paging (database/base/
+# resultdb.py — select(); webui/result.py): row_number over an explicit
+# (updatetime DESC, taskid) order, NOT bare OFFSET (order-unstable).
+COMMON_SQL["results_select_page"] = f"""
+WITH {FRONTIER_CTE},
+res AS (
+  SELECT md5(url) AS taskid, url, exetime AS updatetime
+  FROM frontier WHERE status = 2
+),
+numbered AS (
+  SELECT taskid, url, updatetime,
+    row_number() OVER (ORDER BY updatetime DESC, taskid ASC) AS rn
+  FROM res
+)
+SELECT taskid, url, updatetime, rn FROM numbered WHERE rn > 20 AND rn <= 40
+"""
+
 # dedup: exact (hash-groupBy) over augmented docs
 COMMON_SQL["dedup_exact"] = f"""
 WITH {DOCS_AUG_CTE},

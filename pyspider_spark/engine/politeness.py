@@ -71,10 +71,13 @@ def check_robots(cands: DataFrame, robots: DataFrame, cfg: RoundConfig) -> DataF
         return cands.withColumn("allowed", F.lit(True))
     dim = F.broadcast(robots.select("host", "robots_txt"))
     j = cands.join(dim, "host", "left")
-    j = j.withColumn(
+    # only rows whose host HAS robots text pay the Python UDF; hosts
+    # without a robots row (the vast majority) stay JVM-side
+    with_txt = j.filter(F.col("robots_txt").isNotNull()).withColumn(
         "allowed", _robots_allowed(F.col("host"), F.col("canon_url"), F.col("robots_txt"))
     )
-    return j.drop("robots_txt")
+    without = j.filter(F.col("robots_txt").isNull()).withColumn("allowed", F.lit(True))
+    return with_txt.unionByName(without).drop("robots_txt")
 
 
 def admit(
@@ -144,5 +147,9 @@ def schedule_round(
     free = ok.filter(F.col("host") == "").select(*ADMIT_COLS).withColumn(
         "refilled", F.lit(None).cast(DoubleType())
     )
-    sched = bucketed.unionByName(free).orderBy(*order_cols()).limit(cfg.round_budget)
+    sched = bucketed.unionByName(free)
+    if cfg.round_budget is not None:
+        # O3 global cap needs the O1 total order; skip the global sort
+        # entirely when no budget is configured (unbounded rounds)
+        sched = sched.orderBy(*order_cols()).limit(cfg.round_budget)
     return sched, blocked

@@ -1,0 +1,60 @@
+"""Result sink surface: select/paging + export (SURVEY §2.1 S6/S11).
+
+Mirrors the reference's result access paths:
+- ``pyspider/database/base/resultdb.py — select(project, fields,
+  offset, limit)``: offset paging over a deterministic order — Spark's
+  bare ``offset`` is order-unstable, so paging is a ``row_number`` over
+  an explicit sort key (SURVEY §2.5 O3).
+- ``pyspider/libs/result_dump.py — dump_as_json()/dump_as_txt()/
+  dump_as_csv()``: exports become distributed ``df.write`` sinks (one
+  file per partition at scale; coalesce only for small exports).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def select_results(
+    results: DataFrame,
+    project: str | None = None,
+    offset: int = 0,
+    limit: int = 20,
+) -> DataFrame:
+    """Stable-paged result listing, newest first (webui/result.py)."""
+    df = results
+    if project is not None:
+        df = df.filter(F.col("project") == project)
+    w = Window.orderBy(F.desc("updatetime"), F.asc("taskid"))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") > offset) & (F.col("_rn") <= offset + limit))
+        .drop("_rn")
+    )
+
+
+def dump_results(
+    results: DataFrame, path: str, fmt: str = "json", single_file: bool = False
+) -> None:
+    """Export results as JSON-lines / CSV / text (url\\tresult).
+
+    ``single_file`` coalesces to one output part — only for small
+    exports; large dumps stay one-file-per-partition.
+    """
+    df = results.coalesce(1) if single_file else results
+    if fmt == "json":
+        df.write.mode("overwrite").json(path)
+    elif fmt == "csv":
+        df.write.mode("overwrite").option("header", True).csv(path)
+    elif fmt == "txt":
+        df.select(
+            F.concat_ws("\t", F.col("url"), F.col("result")).alias("line")
+        ).write.mode("overwrite").text(path)
+    else:
+        raise ValueError(f"unknown dump format: {fmt}")
+
+
+def status_counts(frontier: DataFrame) -> DataFrame:
+    """A1 — per-project status counts (taskdb.status_count)."""
+    return frontier.groupBy("project", "status").count()

@@ -47,6 +47,30 @@ from pyspider_spark.engine.stages import (
 SCHEDULABLE = ("RUNNING", "DEBUG")
 
 
+def _parquet_rows(d: str) -> int:
+    """Row count of a parquet directory from file footers (no Spark job)."""
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.ParquetFile(os.path.join(d, fn)).metadata.num_rows
+        for fn in os.listdir(d)
+        if fn.endswith(".parquet")
+    )
+
+
+def _parquet_column(d: str, column: str) -> list:
+    """One column of a parquet directory, read driver-side (tiny tables)."""
+    import pyarrow.parquet as pq
+
+    out: list = []
+    for fn in sorted(os.listdir(d)):
+        if fn.endswith(".parquet"):
+            out.extend(
+                pq.read_table(os.path.join(d, fn), columns=[column])[column].to_pylist()
+            )
+    return out
+
+
 class CrawlEngine:
     def __init__(
         self,
@@ -60,7 +84,19 @@ class CrawlEngine:
         self.spark = spark
         self.cfg = cfg
         self.snap = SnapshotStore(state_dir)
-        self.pages_canon = prepare_pages(spark.read.parquet(pages_path))
+        # Canonical page index (canon_url → html), materialized ONCE as
+        # parquet: the canon pandas UDF over the whole pages table must
+        # not re-run inside every round's fetch join, and a parquet
+        # index beats an in-memory persist (vectorized reader, column
+        # pruning, no executor-memory pressure from html blobs).
+        # Production analog: canon_url is a stored column of the Iceberg
+        # pages table, bucketed on it, written once at ingest.
+        canon_dir = os.path.join(state_dir, "pages_canon.parquet")
+        if not os.path.exists(os.path.join(canon_dir, "_SUCCESS")):
+            prepare_pages(spark.read.parquet(pages_path)).write.mode(
+                "overwrite"
+            ).parquet(canon_dir)
+        self.pages_canon = spark.read.parquet(canon_dir)
         self.projects = spark.read.parquet(projects_path)
         if robots_path:
             self.robots = spark.read.parquet(robots_path)
@@ -103,6 +139,14 @@ class CrawlEngine:
         cfg, snap, spark = self.cfg, self.snap, self.spark
         now = cfg.now(r)
         t_start = time.time()
+        phase_s: dict[str, float] = {}
+        _t = [t_start]
+
+        def mark(name: str) -> None:
+            t = time.time()
+            phase_s[name] = round(t - _t[0], 3)
+            _t[0] = t
+
         man = snap.read_manifest()
         state = (man or {}).get("state", {})
 
@@ -142,15 +186,16 @@ class CrawlEngine:
         probe_out = probe_and_update(probe_in, prev_blobs, snap.blob_dir(r), cfg)
         probe_rel = self._write(probe_out, r, "probe")
         probe = spark.read.parquet(snap.abspath(probe_rel))
+        mark("normalize_probe")
 
-        # --- merge (steps 0-1)
+        # --- merge (steps 0-1). No count actions here: frontier size
+        # comes from the written parquet footers, and the pre-merge size
+        # from the previous manifest (exact fallback below when cancels
+        # actually removed rows this round).
         fr1 = fr.join(cancels.select(*KEY), KEY, "left_anti")
-        fr2 = merge_frontier(fr1, upd, probe, now, r, cfg).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-        n_prev = fr1.count()
-        n_frontier = fr2.count()
-        n_new = n_frontier - n_prev
+        fr2 = merge_frontier(
+            fr1, upd, probe.filter(~F.col("cancel")), now, r, cfg
+        ).persist(StorageLevel.MEMORY_AND_DISK)
 
         # --- candidates (P2/P3/P6)
         schedulable = [
@@ -166,8 +211,6 @@ class CrawlEngine:
         sched, blocked = schedule_round(cands, self.robots, host_state, cfg, now)
         sched = sched.persist(StorageLevel.MEMORY_AND_DISK)
         blocked = blocked.persist(StorageLevel.MEMORY_AND_DISK)
-        n_sched = sched.count()
-        n_blocked = blocked.count()
 
         # --- host_state carry-over (only hosts that actually scheduled)
         hs_new = (
@@ -225,6 +268,7 @@ class CrawlEngine:
             ).alias("new_exetime"),
             F.lit(None).cast("int").alias("new_retries_left"),
             F.lit(now).alias("new_lastcrawltime"),
+            F.lit("ok").alias("kind"),
         )
         settle_fail = fail.select(
             *KEY,
@@ -236,6 +280,7 @@ class CrawlEngine:
             .otherwise(F.col("retries_left"))
             .alias("new_retries_left"),
             F.lit(None).cast("double").alias("new_lastcrawltime"),
+            F.lit("fail").alias("kind"),
         )
         settle_bad = blocked.select(
             *KEY,
@@ -243,6 +288,7 @@ class CrawlEngine:
             F.lit(None).cast("double").alias("new_exetime"),
             F.lit(None).cast("int").alias("new_retries_left"),
             F.lit(None).cast("double").alias("new_lastcrawltime"),
+            F.lit("blocked").alias("kind"),
         )
         settle = settle_ok.unionByName(settle_fail).unionByName(settle_bad)
 
@@ -283,20 +329,51 @@ class CrawlEngine:
             "priority",
         )
 
-        # --- writes + atomic commit
+        # --- writes + atomic commit. ONE job (the frontier write)
+        # materializes the whole merge→politeness→fetch→extract→settle
+        # chain into the persisted intermediates; the remaining sinks
+        # then run as concurrent cache-served Spark jobs (driver
+        # threads). All metric counts come from the written parquet
+        # footers — zero standalone count actions per round.
         tables = dict((man or {}).get("tables", {}))
         tables["frontier"] = self._write(fr_final, r, "frontier")
-        tables["follows"] = self._write(
-            new_follows, r, "follows", partitions=None
+        mark("pipeline")
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=5) as pool:
+            f_follows = pool.submit(self._write, new_follows, r, "follows")
+            f_host = pool.submit(self._write, host_state_next, r, "host_state", 1)
+            f_results = pool.submit(self._write, results, r, "results")
+            f_sched_log = pool.submit(self._write, schedule_log, r, "schedule")
+            f_settle = pool.submit(self._write, settle, r, "settle")
+            tables["follows"] = f_follows.result()
+            tables["host_state"] = f_host.result()
+            tables["probe"] = probe_rel
+            tables.setdefault("results", [])
+            tables["results"] = list(tables["results"]) + [f_results.result()]
+            tables.setdefault("schedule", [])
+            tables["schedule"] = list(tables["schedule"]) + [f_sched_log.result()]
+            tables.setdefault("settle", [])
+            tables["settle"] = list(tables["settle"]) + [f_settle.result()]
+
+        # --- counts from written artifacts (driver-side, no Spark jobs)
+        n_frontier = _parquet_rows(snap.abspath(tables["frontier"]))
+        n_sched = _parquet_rows(snap.abspath(tables["schedule"][-1]))
+        kinds = _parquet_column(snap.abspath(tables["settle"][-1]), "kind")
+        n_ok = sum(1 for k in kinds if k == "ok")
+        n_fail = sum(1 for k in kinds if k == "fail")
+        n_blocked = sum(1 for k in kinds if k == "blocked")
+        prev_frontier = ((man or {}).get("lineage", {}).get("counts", {})).get(
+            "frontier", 0
         )
-        tables["host_state"] = self._write(host_state_next, r, "host_state", partitions=1)
-        tables["probe"] = probe_rel
-        tables.setdefault("results", [])
-        tables["results"] = list(tables["results"]) + [
-            self._write(results, r, "results")
-        ]
-        n_ok = ok.count()
-        n_fail = fail.count()
+        had_cancels = any(_parquet_column(snap.abspath(probe_rel), "cancel"))
+        if had_cancels:
+            n_prev = fr1.count()  # exact (rare path: cancels this round)
+        else:
+            n_prev = prev_frontier
+        n_new = n_frontier - n_prev
+
         wall = time.time() - t_start
         metrics_df = self.spark.createDataFrame(
             [(r, n_sched, n_ok, n_fail, n_blocked, n_new, n_frontier, wall)],
@@ -305,10 +382,6 @@ class CrawlEngine:
         tables.setdefault("metrics", [])
         tables["metrics"] = list(tables["metrics"]) + [
             self._write(metrics_df, r, "metrics", partitions=1)
-        ]
-        tables.setdefault("schedule", [])
-        tables["schedule"] = list(tables["schedule"]) + [
-            self._write(schedule_log, r, "schedule")
         ]
 
         blobs = dict((man or {}).get("blobs", {}))
@@ -344,9 +417,11 @@ class CrawlEngine:
                 },
             }
         )
+        mark("sinks_commit")
         for df in (fr2, sched, blocked, fetched, upd_all, upd):
             df.unpersist()
         return {
+            "phase_s": phase_s,
             "round": r,
             "scheduled": n_sched,
             "ok": n_ok,

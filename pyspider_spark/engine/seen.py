@@ -42,6 +42,7 @@ PROBE_SCHEMA = StructType(
         StructField("taskid", StringType()),
         StructField("pid", IntegerType()),
         StructField("seen", BooleanType()),
+        StructField("cancel", BooleanType()),
     ]
 )
 
@@ -62,7 +63,9 @@ def probe_and_update(
 ) -> DataFrame:
     """updates cols: project, taskid, seen_k, pid, cancel.
 
-    Returns (project, taskid, pid, seen) for non-cancel rows. Side
+    Returns (project, taskid, pid, seen, cancel): non-cancel rows carry
+    the membership verdict; cancel rows are echoed with cancel=True so
+    the round can account for them without a separate action. Side
     effect per group: writes updated bloom/cuckoo blobs to out_dir
     (deterministic content ⇒ safe under Spark task retry/recompute).
     """
@@ -115,13 +118,31 @@ def probe_and_update(
             f.write(cuckoo.to_bytes())
         os.replace(tmp_c, cuckoo_path(out_dir, pid))
 
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 "project": ups["project"],
                 "taskid": ups["taskid"],
                 "pid": pid,
                 "seen": pd.Series(seen, dtype=bool),
+                "cancel": False,
             }
         )
+        if len(cancels):
+            out = pd.concat(
+                [
+                    out,
+                    pd.DataFrame(
+                        {
+                            "project": cancels["project"],
+                            "taskid": cancels["taskid"],
+                            "pid": pid,
+                            "seen": False,
+                            "cancel": True,
+                        }
+                    ),
+                ],
+                ignore_index=True,
+            )
+        return out
 
     return updates.groupBy("pid").applyInPandas(fn, schema=PROBE_SCHEMA)

@@ -86,10 +86,13 @@ class SnapshotStore:
                 parts = p.split(os.sep)
                 if len(parts) >= 2 and parts[0] == "rounds":
                     referenced.add(parts[1])
-        for blob in man.get("blobs", {}).values():
-            parts = blob.split(os.sep)
-            if len(parts) >= 2 and parts[0] == "rounds":
-                referenced.add(parts[1])
+        for pair in man.get("blobs", {}).values():
+            for blob in pair if isinstance(pair, (list, tuple)) else [pair]:
+                if not blob:
+                    continue
+                parts = blob.split(os.sep)
+                if len(parts) >= 2 and parts[0] == "rounds":
+                    referenced.add(parts[1])
         rounds_root = os.path.join(self.root, "rounds")
         if not os.path.isdir(rounds_root):
             return
