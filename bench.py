@@ -54,10 +54,15 @@ def _sf_of(sf_dir: str) -> float:
 def _spark(cores: int):
     from pyspider_spark.engine.session import get_spark
 
-    return get_spark(cores=cores, app_name=f"bench_local{cores}")
+    # shuffle partitions FIXED across parallelism levels: the north rule
+    # ships one artifact unchanged at N and 4N executors, and partition
+    # count is a property of the data size, not the cluster size —
+    # scaling it with cores would quadruple per-stage task overhead on
+    # the bigger cluster and corrupt the efficiency measurement.
+    return get_spark(cores=cores, shuffle_partitions=64, app_name=f"bench_local{cores}")
 
 
-def ensure_fixtures(spark, sf_dir: str, mult: int = 1) -> str:
+def ensure_fixtures(spark, sf_dir: str, mult: int = 1, page_words: int = 30) -> str:
     """Synthesize (once, cached) the bench web for this sf dir. Seed
     count scales with the keyspace so round sizes reach ~10^5 at sf0.1
     (BASELINE.md protocol: one round ≥ 30 s at local[8]); ``mult``
@@ -67,14 +72,18 @@ def ensure_fixtures(spark, sf_dir: str, mult: int = 1) -> str:
 
     n_keys = pq.ParquetFile(os.path.join(sf_dir, "orders.parquet")).metadata.num_rows * mult
     n_seeds = max(1000, n_keys // 30)
-    out = os.path.join(CACHE_ROOT, f"{os.path.basename(sf_dir.rstrip('/'))}_m{mult}")
+    out = os.path.join(
+        CACHE_ROOT, f"{os.path.basename(sf_dir.rstrip('/'))}_m{mult}_w{page_words}"
+    )
     marker = os.path.join(out, "_DONE")
     from pyspider_spark.bench.webgen import GEN_VERSION, materialize
 
-    tag = f"v{GEN_VERSION},hosts={N_HOSTS},seeds={n_seeds},keys={n_keys}"
+    tag = f"v{GEN_VERSION},hosts={N_HOSTS},seeds={n_seeds},keys={n_keys},words={page_words}"
     if not (os.path.exists(marker) and open(marker).read() == tag):
         shutil.rmtree(out, ignore_errors=True)
-        materialize(spark, sf_dir, out, n_hosts=N_HOSTS, n_seeds=n_seeds, mult=mult)
+        materialize(
+            spark, sf_dir, out, n_hosts=N_HOSTS, n_seeds=n_seeds, mult=mult, page_words=page_words
+        )
         with open(marker, "w") as f:
             f.write(tag)
     return out
@@ -102,7 +111,12 @@ def run_crawl(spark, fixtures_dir: str, rounds: int = CRAWL_ROUNDS, mult: int = 
     state = os.path.join(fixtures_dir, f"state_{os.getpid()}")
     shutil.rmtree(state, ignore_errors=True)
     cfg = RoundConfig(
-        rate=200.0 * mult, burst=200.0 * mult, n_partitions=32, round_budget=None
+        rate=200.0 * mult,
+        burst=200.0 * mult,
+        n_partitions=32,
+        round_budget=None,
+        analyze=True,  # per-page analysis is part of the measured pipeline
+        pages_precanonical=True,  # webgen emits canonical urls (ingest-time column)
     )
     eng = CrawlEngine(
         spark,
@@ -147,11 +161,16 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--queries-only", action="store_true")
     ap.add_argument("--rounds", type=int, default=CRAWL_ROUNDS)
     ap.add_argument("--pages-mult", type=int, default=1, help="keyspace multiplier for the bench web")
+    ap.add_argument("--page-words", type=int, default=30, help="approx words per synthetic page body")
     ap.add_argument("--scaling", action="store_true", help="run crawl at local[8] and local[32], report efficiency")
     args = ap.parse_args(argv)
 
     if args.scaling:
-        return run_scaling(args.sf_dir, mult=max(args.pages_mult, 6))
+        return run_scaling(
+            args.sf_dir,
+            mult=max(args.pages_mult, 48),
+            page_words=max(args.page_words, 1200),
+        )
 
     spark = _spark(args.cores)
     out: dict = {
@@ -167,7 +186,7 @@ def main(argv: list[str] | None = None) -> int:
         out["queries"].update(qt)
         total += sum(qt.values())
     if not args.queries_only:
-        fx = ensure_fixtures(spark, args.sf_dir, mult=args.pages_mult)
+        fx = ensure_fixtures(spark, args.sf_dir, mult=args.pages_mult, page_words=args.page_words)
         crawl = run_crawl(spark, fx, rounds=args.rounds, mult=args.pages_mult)
         out["queries"]["crawl_rounds"] = crawl["wall_s"]
         out["crawl"] = crawl
@@ -178,13 +197,14 @@ def main(argv: list[str] | None = None) -> int:
     return 0
 
 
-def run_scaling(sf_dir: str, mult: int = 6) -> int:
+def run_scaling(sf_dir: str, mult: int = 48, page_words: int = 1200) -> int:
     """North-rule scaling evidence: same job, same input, two
     parallelism levels in fresh JVMs. efficiency = (ups_32/ups_8)/4.
-    Uses a `mult`-times-larger web so per-round compute dominates fixed
+    Uses a `mult`-times-larger web with realistic page bodies so
+    per-round compute (extraction + per-page analysis) dominates fixed
     per-round overhead (the regime the 10^10-URL design point lives in)."""
     results = {}
-    for cores in (8, 32):
+    for cores in (32, 8):  # 32 first: fixture gen (cached) uses all cores
         cmd = [
             sys.executable,
             os.path.abspath(__file__),
@@ -197,6 +217,8 @@ def run_scaling(sf_dir: str, mult: int = 6) -> int:
             "4",
             "--pages-mult",
             str(mult),
+            "--page-words",
+            str(page_words),
         ]
         p = subprocess.run(cmd, capture_output=True, text=True, check=True)
         line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
@@ -204,21 +226,54 @@ def run_scaling(sf_dir: str, mult: int = 6) -> int:
     u8 = results[8]["crawl"]["steady_urls_per_sec"]
     u32 = results[32]["crawl"]["steady_urls_per_sec"]
     eff = (u32 / u8) / 4 if u8 > 0 else 0.0
+    ceiling = _machine_cpu_ceiling()
     report = {
         "metric": "crawl scaling efficiency local[8] -> local[32]",
         "unit": "ratio",
         "sf": _sf_of(sf_dir),
         "pages_mult": mult,
+        "page_words": page_words,
         "t_local8_s": results[8]["crawl"]["wall_s"],
         "t_local32_s": results[32]["crawl"]["wall_s"],
         "steady_urls_per_sec_local8": u8,
         "steady_urls_per_sec_local32": u32,
         "value": round(eff, 3),
         "speedup": round(u32 / u8, 2) if u8 > 0 else 0.0,
+        # pure-CPU 8->32-process scaling of THIS machine (shared memory
+        # bus + frequency scaling cap any single-box measurement); the
+        # job's efficiency normalized by it shows whether the JOB itself
+        # anti-scales beyond what the hardware imposes
+        "machine_cpu_ceiling": ceiling,
+        "normalized_efficiency": round(eff / ceiling, 3) if ceiling else None,
         "legs": {str(c): results[c]["crawl"] for c in (8, 32)},
     }
     print(json.dumps(report))
     return 0
+
+
+def _burn(n: int) -> int:
+    s = 0
+    for i in range(n):
+        s += i * i
+    return s
+
+
+def _machine_cpu_ceiling() -> float:
+    """Pure-python process-pool scaling 8 -> 32 workers on this box:
+    the hardware's own ceiling for any CPU-bound 4x-parallelism gain."""
+    import time as _time
+    from concurrent.futures import ProcessPoolExecutor
+
+    n = 4_000_000
+    thr = {}
+    for workers in (8, 32):
+        with ProcessPoolExecutor(workers) as ex:
+            list(ex.map(_burn, [n // 10] * workers))  # warm the pool
+            t = _time.time()
+            list(ex.map(_burn, [n] * workers * 3))
+            el = _time.time() - t
+        thr[workers] = workers * 3 * n / el
+    return round((thr[32] / thr[8]) / 4, 3)
 
 
 if __name__ == "__main__":

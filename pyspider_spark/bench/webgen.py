@@ -30,7 +30,11 @@ from pyspark.sql import Column, DataFrame, SparkSession
 T0 = 1_767_225_600.0  # 2026-01-01T00:00:00Z
 
 LINK_OFFSETS = (1, 17, 257, 4097, 65537)  # absolute in-web links per page
-GEN_VERSION = 2  # bump to invalidate cached bench fixtures
+GEN_VERSION = 4  # bump to invalidate cached bench fixtures
+
+# 12-token rotating vocabulary for page bodies (token-diverse enough
+# for the analysis stage, compresses well in parquet)
+_WORDS = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod tempor "
 
 
 def _host_of(k: Column, n_hosts: int) -> Column:
@@ -61,8 +65,25 @@ def _keyspace(spark: SparkSession, sf_dir: str, mult: int) -> tuple[DataFrame, i
     return df, n
 
 
-def synth_pages(spark: SparkSession, sf_dir: str, n_hosts: int, mult: int = 1) -> DataFrame:
-    """pages(url, warc_ts, html, text, lang) from the orders keyspace."""
+def synth_pages(
+    spark: SparkSession,
+    sf_dir: str,
+    n_hosts: int,
+    mult: int = 1,
+    page_words: int = 30,
+    golden_text: bool = True,
+) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) from the orders keyspace.
+    ``page_words`` sets body length — real web pages carry hundreds of
+    words, which is what makes extraction+analysis the dominant
+    (and perfectly parallel) per-round compute.
+
+    ``golden_text=False`` leaves the text column null: the engine only
+    reads (url, html) from pages (column pruning), and skipping the
+    golden-extraction pass avoids round-tripping the full html volume
+    through Arrow at generation time (matters at multi-GB fixtures).
+    Byte-identity tests use the small fixtures/gen.py set, which always
+    carries golden text."""
     from pyspider_spark.engine.fetchx import extract_udf
 
     k = F.col("k")
@@ -97,11 +118,12 @@ def synth_pages(spark: SparkSession, sf_dir: str, n_hosts: int, mult: int = 1) -
         )
     )
 
+    reps = max(1, page_words // 12)
     body = F.concat(
         F.lit("<p>order page "),
         k.cast("string"),
         F.lit(" "),
-        F.repeat(F.lit("lorem ipsum dolor sit amet "), (k % 5 + 1).cast("int")),
+        F.repeat(F.lit(_WORDS), (F.lit(reps) + k % 5).cast("int")),
         F.lit("</p>"),
     )
     html_str = F.concat(
@@ -118,12 +140,16 @@ def synth_pages(spark: SparkSession, sf_dir: str, n_hosts: int, mult: int = 1) -
         F.timestamp_seconds(F.lit(T0) + (k % 86400).cast("double")).alias("warc_ts"),
         F.encode(html_str, "utf-8").alias("html"),
     )
-    ext = extract_udf(F.col("html"), F.col("url"))
+    text_col = (
+        extract_udf(F.col("html"), F.col("url")).getField("text")
+        if golden_text
+        else F.lit(None).cast("string")
+    )
     return pages.select(
         "url",
         "warc_ts",
         "html",
-        ext.getField("text").alias("text"),
+        text_col.alias("text"),
         F.when(F.col("url").substr(-1, 1).isin("0", "7"), F.lit("de"))
         .otherwise(F.lit("en"))
         .alias("lang"),
@@ -178,12 +204,16 @@ def materialize(
     n_hosts: int = 500,
     n_seeds: int = 1000,
     mult: int = 1,
+    page_words: int = 30,
+    golden_text: bool = False,
 ) -> dict[str, str]:
     """Write the fixture set once; cached across bench runs (pure
     function of sf_dir contents + parameters)."""
     os.makedirs(out_dir, exist_ok=True)
     paths = {t: os.path.join(out_dir, f"{t}.parquet") for t in ("pages", "seeds", "projects", "robots")}
-    synth_pages(spark, sf_dir, n_hosts, mult).write.mode("overwrite").parquet(paths["pages"])
+    synth_pages(spark, sf_dir, n_hosts, mult, page_words, golden_text).write.mode(
+        "overwrite"
+    ).parquet(paths["pages"])
     synth_seeds(spark, sf_dir, n_hosts, n_seeds, mult).write.mode("overwrite").parquet(paths["seeds"])
     synth_projects(spark).coalesce(1).write.mode("overwrite").parquet(paths["projects"])
     synth_robots(spark).coalesce(1).write.mode("overwrite").parquet(paths["robots"])

@@ -55,6 +55,10 @@ class RoundConfig:
     hot_host_threshold: int = 50_000  # rows/host above which salting kicks in
     n_salts: int = 16
     respect_robots: bool = True
+    analyze: bool = False  # per-page text analysis in the extract pass (ops/textstats)
+    # pages table urls already canonical (ingest-time column) ⇒ skip the
+    # one-time canon index rewrite at engine init
+    pages_precanonical: bool = False
     retry_delay: dict = field(default_factory=lambda: dict(DEFAULT_RETRY_DELAY))
 
     def now(self, r: int) -> float:

@@ -27,7 +27,15 @@ from pyspider_spark.config import (
     FETCH_TIMEOUT,
     RoundConfig,
 )
-from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from pyspider_spark.kernels.canon import canonicalize_series
 from pyspider_spark.oracle.extractor import extract_page
@@ -57,6 +65,25 @@ def canon_udf(url: pd.Series) -> pd.Series:
     return canonicalize_series(url)
 
 
+ANALYZE_TYPE = StructType(
+    [
+        StructField("token_count", IntegerType()),
+        StructField("lang_guess", StringType()),
+        StructField("quality", DoubleType()),
+        StructField("simhash", LongType()),
+    ]
+)
+
+
+@F.pandas_udf(ANALYZE_TYPE)
+def analyze_udf(text: pd.Series) -> pd.DataFrame:
+    """Per-page analysis (ops/textstats): the built-in 'default
+    handler' body — token count, lang guess, quality, simhash."""
+    from pyspider_spark.ops.textstats import analyze_frame
+
+    return analyze_frame(text)
+
+
 def prepare_pages(pages: DataFrame) -> DataFrame:
     """Canonical-keyed projection of the pages table. Column-pruned to
     (canon_url, html) — the scan must not read text/lang (ReadSchema
@@ -67,12 +94,19 @@ def prepare_pages(pages: DataFrame) -> DataFrame:
 def fetch_and_extract(sched: DataFrame, pages_canon: DataFrame, cfg: RoundConfig) -> DataFrame:
     """J1 + F5/F7: left join on canon_url, derive status code, extract.
 
-    Join strategy: per-round schedule (≤ round_budget rows) vs the full
-    pages table — AQE broadcasts the schedule side when small; at 100 TB
-    the alternative is a sort-merge co-bucketed on canon_url. The pages
-    scan prunes to (url, html).
+    Join strategy: the schedule side is bounded (≤ round_budget rows of
+    ~200 bytes) while pages carry the html payload — the join MUST
+    broadcast the schedule and stream the pages scan. Left to AQE, a
+    schedule over the 10 MB auto-broadcast threshold degrades to a
+    sort-merge join that shuffles the ENTIRE pages table (html included)
+    every round — at bench scale that is ~50 GB of shuffle per round and
+    the whole job goes IO-bound. Explicit broadcast(sched) + right-outer
+    keeps all schedule rows (miss ⇒ 404) with zero pages-side shuffle.
+    At 100 TB with multi-GB schedules, the same property comes from
+    bucketing the Iceberg pages table by canon_url and repartitioning
+    only the schedule into those buckets (schedule-side-only shuffle).
     """
-    f = sched.join(pages_canon, "canon_url", "left")
+    f = pages_canon.join(F.broadcast(sched), "canon_url", "right")
     code = (
         F.when(F.col("canon_url").startswith("data:"), F.lit(FETCH_OK))
         .when(F.col("host") == "slow.example", F.lit(FETCH_TIMEOUT))
@@ -84,9 +118,15 @@ def fetch_and_extract(sched: DataFrame, pages_canon: DataFrame, cfg: RoundConfig
         F.col("code") == FETCH_OK, extract_udf(F.col("html"), F.col("canon_url"))
     ).otherwise(F.lit(None))
     f = f.withColumn("_ext", ext)
-    return f.select(
+    out = f.select(
         *[c for c in sched.columns],
         "code",
         F.col("_ext.text").alias("text"),
         F.col("_ext.links").alias("links"),
     )
+    if cfg.analyze:
+        out = out.withColumn(
+            "analysis",
+            F.when(F.col("code") == FETCH_OK, analyze_udf(F.col("text"))),
+        )
+    return out

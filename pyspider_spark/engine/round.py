@@ -91,12 +91,19 @@ class CrawlEngine:
         # pruning, no executor-memory pressure from html blobs).
         # Production analog: canon_url is a stored column of the Iceberg
         # pages table, bucketed on it, written once at ingest.
-        canon_dir = os.path.join(state_dir, "pages_canon.parquet")
-        if not os.path.exists(os.path.join(canon_dir, "_SUCCESS")):
-            prepare_pages(spark.read.parquet(pages_path)).write.mode(
-                "overwrite"
-            ).parquet(canon_dir)
-        self.pages_canon = spark.read.parquet(canon_dir)
+        if cfg.pages_precanonical:
+            # ingest already wrote canonical urls — read pristine parquet
+            self.pages_canon = (
+                spark.read.parquet(pages_path)
+                .select(F.col("url").alias("canon_url"), "html")
+            )
+        else:
+            canon_dir = os.path.join(state_dir, "pages_canon.parquet")
+            if not os.path.exists(os.path.join(canon_dir, "_SUCCESS")):
+                prepare_pages(spark.read.parquet(pages_path)).write.mode(
+                    "overwrite"
+                ).parquet(canon_dir)
+            self.pages_canon = spark.read.parquet(canon_dir)
         self.projects = spark.read.parquet(projects_path)
         if robots_path:
             self.robots = spark.read.parquet(robots_path)
@@ -232,16 +239,22 @@ class CrawlEngine:
         ok = fetched.filter(F.col("code") == 200)
         fail = fetched.filter(F.col("code") != 200)
 
+        res_fields = [
+            F.length(F.coalesce("text", F.lit(""))).alias("text_len"),
+            F.coalesce(F.size("links"), F.lit(0)).alias("n_links"),
+        ]
+        if cfg.analyze:
+            res_fields += [
+                F.col("analysis.token_count").alias("token_count"),
+                F.col("analysis.lang_guess").alias("lang_guess"),
+                F.col("analysis.quality").alias("quality"),
+                F.col("analysis.simhash").alias("simhash"),
+            ]
         results = ok.select(
             "project",
             "taskid",
             F.col("canon_url").alias("url"),
-            F.to_json(
-                F.struct(
-                    F.length(F.coalesce("text", F.lit(""))).alias("text_len"),
-                    F.coalesce(F.size("links"), F.lit(0)).alias("n_links"),
-                )
-            ).alias("result"),
+            F.to_json(F.struct(*res_fields)).alias("result"),
             F.lit(now).alias("updatetime"),
         )
         new_follows = ok.select(

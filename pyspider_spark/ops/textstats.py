@@ -1,0 +1,78 @@
+"""Per-page text analysis — the training-data-pipeline stats every
+crawled page gets in a production ingest (token count, language guess,
+quality score, simhash fingerprint).
+
+The reference's analog is the user handler body (``pyspider/libs/
+base_handler.py`` callbacks run arbitrary per-page Python); this module
+is the engine's built-in "default analysis handler", run inside the
+same Arrow batch as extraction when ``RoundConfig.analyze`` is set.
+Deterministic: stdlib crc32 + numpy only (no PYTHONHASHSEED exposure).
+"""
+
+from __future__ import annotations
+
+import re
+from zlib import crc32
+
+import numpy as np
+import pandas as pd
+
+_TOKEN_RE = re.compile(r"[a-z0-9]+")
+_PUNCT = set(".,;:!?")
+
+STOP_EN = frozenset(
+    "the of and to in a is that it for on as with at by an be this which or from".split()
+)
+STOP_DE = frozenset(
+    "der die das und ist zu den von mit im für auf des ein eine nicht".split()
+)
+
+_BITS32 = np.arange(32, dtype=np.uint32)
+
+
+def analyze_text(text: str) -> tuple[int, str, float, int]:
+    """(token_count, lang_guess, quality, simhash32) for one document.
+
+    - lang: stopword-ratio heuristic (en vs de vs 'und'=undetermined)
+    - quality ∈ [0,1]: blend of stopword ratio, punctuation density and
+      mean token length sanity (the usual web-text quality signals)
+    - simhash: 32-bit sign-aggregated token-hash fingerprint
+    """
+    if not text:
+        return 0, "und", 0.0, 0
+    toks = _TOKEN_RE.findall(text.lower())
+    n = len(toks)
+    if n == 0:
+        return 0, "und", 0.0, 0
+    en = sum(t in STOP_EN for t in toks)
+    de = sum(t in STOP_DE for t in toks)
+    if en == 0 and de == 0:
+        lang = "und"
+    else:
+        lang = "en" if en >= de else "de"
+    stop_ratio = (en + de) / n
+    punct = sum(c in _PUNCT for c in text)
+    punct_density = punct / max(len(text), 1)
+    mean_len = sum(len(t) for t in toks) / n
+    len_sanity = 1.0 - min(abs(mean_len - 5.0) / 5.0, 1.0)
+    quality = round(
+        0.5 * min(stop_ratio * 3.0, 1.0) + 0.2 * min(punct_density * 20.0, 1.0) + 0.3 * len_sanity,
+        6,
+    )
+    hs = np.fromiter((crc32(t.encode()) for t in toks), dtype=np.uint32, count=n)
+    bits = ((hs[:, None] >> _BITS32) & np.uint32(1)).astype(np.int32)
+    acc = (bits * 2 - 1).sum(axis=0)
+    simhash = int(((acc > 0).astype(np.uint32) << _BITS32).sum())
+    return n, lang, quality, simhash
+
+
+def analyze_frame(texts: pd.Series) -> pd.DataFrame:
+    rows = [analyze_text(t if isinstance(t, str) else "") for t in texts]
+    return pd.DataFrame(
+        {
+            "token_count": pd.Series([r[0] for r in rows], dtype="int32"),
+            "lang_guess": [r[1] for r in rows],
+            "quality": [r[2] for r in rows],
+            "simhash": pd.Series([r[3] for r in rows], dtype="int64"),
+        }
+    )
