@@ -95,18 +95,30 @@ def fetch_and_extract(sched: DataFrame, pages_canon: DataFrame, cfg: RoundConfig
     """J1 + F5/F7: left join on canon_url, derive status code, extract.
 
     Join strategy: the schedule side is bounded (≤ round_budget rows of
-    ~200 bytes) while pages carry the html payload — the join MUST
-    broadcast the schedule and stream the pages scan. Left to AQE, a
-    schedule over the 10 MB auto-broadcast threshold degrades to a
-    sort-merge join that shuffles the ENTIRE pages table (html included)
-    every round — at bench scale that is ~50 GB of shuffle per round and
-    the whole job goes IO-bound. Explicit broadcast(sched) + right-outer
-    keeps all schedule rows (miss ⇒ 404) with zero pages-side shuffle.
-    At 100 TB with multi-GB schedules, the same property comes from
-    bucketing the Iceberg pages table by canon_url and repartitioning
-    only the schedule into those buckets (schedule-side-only shuffle).
+    ~200 bytes) while pages carry the html payload — the payload side
+    must NEVER shuffle. A single outer join can't deliver that: a
+    broadcast hash join only preserves its STREAMED side, so
+    "broadcast(sched) right-outer" silently flips to building the pages
+    side (fine on toy data, impossible at scale), and past the 10 MB
+    threshold AQE degrades to a sort-merge join that shuffles the whole
+    html corpus (~50 GB/round at bench scale — the job goes IO-bound).
+    Decomposition with zero payload shuffle:
+
+      hits   = pages INNER JOIN broadcast(sched)   -- streams (url,html) scan
+      misses = sched LEFT ANTI pages[canon_url]    -- key-only column scan
+      fetch  = hits ∪ (misses, html=null)          -- miss ⇒ 404 path
+
+    The anti join moves only the key column (parquet column pruning),
+    so per round: one full payload scan + one key-column scan, no
+    payload shuffle. At 100 TB with multi-GB schedules the same
+    property comes from bucketing the Iceberg pages table by canon_url
+    and repartitioning only the schedule into those buckets.
     """
-    f = pages_canon.join(F.broadcast(sched), "canon_url", "right")
+    hits = pages_canon.join(F.broadcast(sched), "canon_url", "inner")
+    misses = sched.join(
+        pages_canon.select("canon_url"), "canon_url", "left_anti"
+    ).withColumn("html", F.lit(None).cast("binary"))
+    f = hits.select(*sched.columns, "html").unionByName(misses.select(*sched.columns, "html"))
     code = (
         F.when(F.col("canon_url").startswith("data:"), F.lit(FETCH_OK))
         .when(F.col("host") == "slow.example", F.lit(FETCH_TIMEOUT))
