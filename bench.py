@@ -54,6 +54,10 @@ def _sf_of(sf_dir: str) -> float:
 def _spark(cores: int):
     from pyspider_spark.engine.session import get_spark
 
+    # bench recipe pins the big local-mode heap (the sandbox has 125 GB;
+    # library default derives a smaller one from MemAvailable)
+    os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
+
     # shuffle partitions FIXED across parallelism levels: the north rule
     # ships one artifact unchanged at N and 4N executors, and partition
     # count is a property of the data size, not the cluster size —
@@ -220,7 +224,14 @@ def run_scaling(sf_dir: str, mult: int = 48, page_words: int = 1200) -> int:
             "--page-words",
             str(page_words),
         ]
-        p = subprocess.run(cmd, capture_output=True, text=True, check=True)
+        p = subprocess.run(cmd, capture_output=True, text=True)
+        if p.returncode != 0:
+            # surface the child's tail before failing — a swallowed
+            # CalledProcessError makes scaling-leg failures undiagnosable
+            sys.stderr.write(f"--- crawl leg local[{cores}] FAILED (rc={p.returncode})\n")
+            sys.stderr.write("".join(p.stdout.splitlines(True)[-20:]))
+            sys.stderr.write("".join(p.stderr.splitlines(True)[-40:]))
+            raise subprocess.CalledProcessError(p.returncode, cmd)
         line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
         results[cores] = json.loads(line)
     u8 = results[8]["crawl"]["steady_urls_per_sec"]

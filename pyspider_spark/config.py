@@ -46,14 +46,32 @@ class RoundConfig:
     burst: float = 10.0  # token-bucket capacity per host
     round_budget: int | None = 100_000  # global cap per round (LOOP_LIMIT analog); None = unbounded
     max_retries: int = DEFAULT_RETRIES
-    lease: float = 600.0  # processing lease seconds (O4)
-    n_partitions: int = 8  # bucket(host) partition count for seen-state
-    bloom_bits: int = 1 << 20  # per-partition bloom size (m)
-    bloom_k: int = 7
+    # NOTE on the reference's processing lease (O4, ``scheduler/
+    # task_queue.py — _check_processing()``): batch rounds settle every
+    # scheduled row inside the same round (the fetch join always
+    # resolves to ok/fail/blocked), so an in-flight lease/requeue path
+    # would be dead code here; crash-mid-round safety comes from the
+    # atomic manifest commit instead (tests/test_resume.py).
+    n_partitions: int = 8  # bucket(host) partition count for seen-state + frontier layout
+    # bloom sizing policy: m/k derived from expected keys per partition
+    # and a target false-positive rate (see kernels.bloom.bloom_params);
+    # partitions whose inserted-key count exceeds `bloom_expected_keys`
+    # are rebuilt at 2x capacity from the frontier (the authoritative
+    # key set) at the start of the next round.
+    bloom_expected_keys: int = 100_000  # design capacity per partition
+    bloom_target_fpr: float = 1e-3
     bloom_seed: int = 42
     cuckoo_buckets: int = 1 << 14  # per-partition cuckoo filter buckets
-    hot_host_threshold: int = 50_000  # rows/host above which salting kicks in
+    # host-keyed salting for hot-domain skew is unconditional: the
+    # two-phase pre-rank is a strict improvement for hot hosts and
+    # costs one extra window over already-shuffled data for cold ones.
     n_salts: int = 16
+    # fetch-join build side: the schedule is broadcast only when its
+    # size is provably under this row bound (round_budget, or the
+    # measured schedule size passed by the round driver) — an unbounded
+    # schedule must not be force-collected to the driver (8 GB broadcast
+    # limit); past the bound the join falls back to AQE's choice.
+    fetch_broadcast_max_rows: int = 20_000_000
     respect_robots: bool = True
     analyze: bool = False  # per-page text analysis in the extract pass (ops/textstats)
     # pages table urls already canonical (ingest-time column) ⇒ skip the

@@ -91,7 +91,12 @@ def prepare_pages(pages: DataFrame) -> DataFrame:
     return pages.select(canon_udf(F.col("url")).alias("canon_url"), "html")
 
 
-def fetch_and_extract(sched: DataFrame, pages_canon: DataFrame, cfg: RoundConfig) -> DataFrame:
+def fetch_and_extract(
+    sched: DataFrame,
+    pages_canon: DataFrame,
+    cfg: RoundConfig,
+    sched_rows: int | None = None,
+) -> DataFrame:
     """J1 + F5/F7: left join on canon_url, derive status code, extract.
 
     Join strategy: the schedule side is bounded (≤ round_budget rows of
@@ -113,8 +118,21 @@ def fetch_and_extract(sched: DataFrame, pages_canon: DataFrame, cfg: RoundConfig
     payload shuffle. At 100 TB with multi-GB schedules the same
     property comes from bucketing the Iceberg pages table by canon_url
     and repartitioning only the schedule into those buckets.
+
+    Broadcast guard (ADVICE r1): the hint is only applied when the
+    schedule size is *provably* bounded — `sched_rows` (exact, from the
+    round driver's written schedule-log footers) or cfg.round_budget —
+    and under cfg.fetch_broadcast_max_rows. An unbounded schedule must
+    not be force-collected past the driver/broadcast limits; without
+    the hint AQE picks the strategy from observed sizes.
     """
-    hits = pages_canon.join(F.broadcast(sched), "canon_url", "inner")
+    bound = sched_rows if sched_rows is not None else cfg.round_budget
+    build = (
+        F.broadcast(sched)
+        if bound is not None and bound <= cfg.fetch_broadcast_max_rows
+        else sched
+    )
+    hits = pages_canon.join(build, "canon_url", "inner")
     misses = sched.join(
         pages_canon.select("canon_url"), "canon_url", "left_anti"
     ).withColumn("html", F.lit(None).cast("binary"))

@@ -130,14 +130,68 @@ def admit(
     return joined.groupBy("host").applyInPandas(fn, out_schema)
 
 
+def project_cap(sched: DataFrame, caps: dict[str, int], cfg: RoundConfig) -> DataFrame:
+    """J5/O2 second cap — per-*project* token-bucket admission consuming
+    ``projects.rate/burst`` (``pyspider/scheduler/token_bucket.py —
+    Bucket`` per ``Project``; the host bucket above is the web-politeness
+    unit, this is the reference's project throttle).
+
+    `caps`: project → ⌊tokens after refill⌋, computed driver-side from
+    the manifest-carried project bucket state; projects absent from the
+    dict (no rate/burst row, or unlimited sentinel) pass through
+    untouched — ZERO extra work for them. Selection is the global O1
+    top-⌊tok⌋ within each capped project, made skew-safe by the same
+    salted two-phase used for hosts: per-(project, salt) pre-rank keeps
+    ≤ cap rows, so the exact per-project pass sees ≤ n_salts·cap rows.
+    """
+    if not caps:
+        return sched
+    cap_map = F.create_map(
+        *[F.lit(x) for k in sorted(caps) for x in (k, int(caps[k]))]
+    )
+    is_capped = F.col("project").isin(list(caps))
+    free = sched.filter(~is_capped)
+    capped = sched.withColumn("_cap", cap_map[F.col("project")]).filter(is_capped)
+
+    salted = capped.withColumn(
+        "salt", F.pmod(F.xxhash64("taskid", "project"), F.lit(cfg.n_salts))
+    )
+    w = Window.partitionBy("project", "salt").orderBy(*order_cols())
+    reduced = (
+        salted.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= F.col("_cap"))
+        .drop("_rk", "salt")
+    )
+
+    out_schema = sched.schema
+
+    def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        n = int(pdf["_cap"].iloc[0])
+        pdf = pdf.sort_values(
+            ["priority", "exetime", "taskid", "project"],
+            ascending=[False, True, True, True],
+        ).head(n)
+        return pdf.drop(columns=["_cap"])
+
+    return free.unionByName(
+        reduced.groupBy("project").applyInPandas(fn, out_schema)
+    )
+
+
 def schedule_round(
-    cands: DataFrame, robots: DataFrame, host_state: DataFrame, cfg: RoundConfig, now: float
+    cands: DataFrame,
+    robots: DataFrame,
+    host_state: DataFrame,
+    cfg: RoundConfig,
+    now: float,
+    project_caps: dict[str, int] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """Full O1/O2/O3/J4 pass. Returns (sched, blocked).
+    """Full O1/O2/O3/J4/J5 pass. Returns (sched, blocked).
 
     sched: the round's fetch schedule — robots-passing, per-host bucket
-    admission, global `round_budget` cut in O1 order (TakeOrdered: per-
-    partition top-k then merge — no global sort materialization).
+    admission, per-project budget cap (when `project_caps` given),
+    global `round_budget` cut in O1 order (TakeOrdered: per-partition
+    top-k then merge — no global sort materialization).
     blocked: robots-disallowed rows (settle BAD, no retry)."""
     checked = check_robots(cands, robots, cfg)
     blocked = checked.filter(~F.col("allowed")).select(*ADMIT_COLS)
@@ -148,6 +202,7 @@ def schedule_round(
         "refilled", F.lit(None).cast(DoubleType())
     )
     sched = bucketed.unionByName(free)
+    sched = project_cap(sched, project_caps or {}, cfg)
     if cfg.round_budget is not None:
         # O3 global cap needs the O1 total order; skip the global sort
         # entirely when no budget is configured (unbounded rounds)

@@ -7,17 +7,25 @@ DataFrame stages:
 
     read frontier snapshot → normalize+collapse updates (follows from
     last round ∪ injected ∪ cron) → bloom/cuckoo seen probe
-    [SHUFFLE pid] → MERGE frontier [SHUFFLE key] → candidates (P2/P3/P6)
-    → robots (J4, broadcast dim) → salted politeness (O1/O2)
-    [SHUFFLE host] → budget cut (O3, TakeOrdered) → fetch join (J1)
-    [broadcast/SMJ canon_url] → extract (Arrow UDF) → settle + follows
-    → atomic snapshot commit (frontier, results, metrics, schedule,
-    host_state, seen blobs, cron state)
+    [SHUFFLE pid] → MERGE touched frontier partitions [SHUFFLE key]
+    → candidates (P2/P3/P6) → robots (J4, broadcast dim) → salted
+    politeness (O1/O2) [SHUFFLE host] → budget cut (O3, TakeOrdered)
+    → fetch join (J1) [broadcast/AQE canon_url] → extract (Arrow UDF)
+    → settle + follows → atomic snapshot commit
 
-Cross-round state lives only in the snapshot store (Iceberg in
-production, Parquet+manifest shim here) ⇒ exact resume: a crash
-mid-round leaves the previous manifest; re-running the round is
-idempotent (BASELINE.json:14).
+Frontier layout (Iceberg ``MERGE INTO`` semantics, SURVEY §2.1 S3):
+the frontier is stored as one parquet directory per ``pid =
+bucket(host)`` partition. A round only reads the partitions named by
+its updates for the merge join, and only REWRITES partitions actually
+touched (updates ∪ cancels ∪ settles); untouched partition directories
+are carried forward by path in the manifest. At a 10^10-row frontier a
+budgeted round therefore costs O(touched partitions), not O(frontier)
+— the candidates scan still covers all partitions but is a pruned
+columnar read (status/exetime pushdown), never a rewrite.
+
+Cross-round state lives only in the snapshot store ⇒ exact resume: a
+crash mid-round leaves the previous manifest; re-running the round is
+idempotent (BASELINE.json:14; tests/test_resume.py).
 """
 
 from __future__ import annotations
@@ -26,14 +34,14 @@ import os
 import time
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.storagelevel import StorageLevel
 
 from pyspider_spark.config import ACTIVE, BAD, FAILED, SUCCESS, RoundConfig
 from pyspider_spark.engine import schema as S
 from pyspider_spark.engine.fetchx import fetch_and_extract, prepare_pages
 from pyspider_spark.engine.politeness import schedule_round
-from pyspider_spark.engine.seen import probe_and_update
+from pyspider_spark.engine.seen import probe_and_update, rebuild_blooms
 from pyspider_spark.engine.snapshot import SnapshotStore
 from pyspider_spark.engine.stages import (
     KEY,
@@ -47,6 +55,16 @@ from pyspider_spark.engine.stages import (
 SCHEDULABLE = ("RUNNING", "DEBUG")
 
 
+def pid_col(n_partitions: int, host: str = "host") -> Column:
+    """JVM-side twin of ``kernels.canon.partition_of`` — first 4 bytes
+    of md5(host) as big-endian int, mod n (byte-equal by construction,
+    pinned by tests/test_canon.py)."""
+    return (
+        F.conv(F.substring(F.md5(F.col(host)), 1, 8), 16, 10).cast("long")
+        % n_partitions
+    ).cast("int")
+
+
 def _parquet_rows(d: str) -> int:
     """Row count of a parquet directory from file footers (no Spark job)."""
     import pyarrow.parquet as pq
@@ -58,17 +76,37 @@ def _parquet_rows(d: str) -> int:
     )
 
 
-def _parquet_column(d: str, column: str) -> list:
-    """One column of a parquet directory, read driver-side (tiny tables)."""
+def _parquet_value_counts(d: str, column: str) -> dict:
+    """value_counts of one column of a parquet dir, computed in Arrow
+    (no Python-list materialization — ADVICE r1) driver-side."""
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    out: list = []
+    out: dict = {}
     for fn in sorted(os.listdir(d)):
         if fn.endswith(".parquet"):
-            out.extend(
-                pq.read_table(os.path.join(d, fn), columns=[column])[column].to_pylist()
-            )
+            col = pq.read_table(os.path.join(d, fn), columns=[column])[column]
+            for s in pc.value_counts(col.combine_chunks()):
+                v = s["values"].as_py()
+                out[v] = out.get(v, 0) + s["counts"].as_py()
     return out
+
+
+def _parquet_state_rows(d: str) -> list[dict]:
+    """The per-partition blob state rows of a written probe table
+    (project IS NULL), read driver-side (≤ n_partitions rows)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    rows: list[dict] = []
+    for fn in sorted(os.listdir(d)):
+        if fn.endswith(".parquet"):
+            t = pq.read_table(
+                os.path.join(d, fn),
+                columns=["project", "pid", "bloom_blob", "cuckoo_blob", "n_keys"],
+            )
+            rows.extend(t.filter(pc.is_null(t["project"])).to_pylist())
+    return rows
 
 
 class CrawlEngine:
@@ -99,18 +137,54 @@ class CrawlEngine:
             )
         else:
             canon_dir = os.path.join(state_dir, "pages_canon.parquet")
-            if not os.path.exists(os.path.join(canon_dir, "_SUCCESS")):
+            stamp_path = os.path.join(state_dir, "pages_canon.src")
+            stamp = self._pages_stamp(pages_path)
+            fresh = (
+                os.path.exists(os.path.join(canon_dir, "_SUCCESS"))
+                and os.path.exists(stamp_path)
+                and open(stamp_path).read() == stamp
+            )
+            if not fresh:
                 prepare_pages(spark.read.parquet(pages_path)).write.mode(
                     "overwrite"
                 ).parquet(canon_dir)
+                with open(stamp_path, "w") as f:
+                    f.write(stamp)
             self.pages_canon = spark.read.parquet(canon_dir)
-        self.projects = spark.read.parquet(projects_path)
+        self.projects_path = projects_path
+        self._proj_stat: tuple | None = None
+        self._load_projects()
         if robots_path:
             self.robots = spark.read.parquet(robots_path)
         else:
             self.robots = spark.createDataFrame(
                 [], "host string, robots_txt string"
             )
+
+    def _pages_stamp(self, pages_path: str) -> str:
+        """Identity of the pages source (path + mtime + rows) so a
+        reused state_dir with a changed pages table rebuilds the canon
+        index instead of serving a stale one (ADVICE r1)."""
+        try:
+            mtime = os.path.getmtime(pages_path)
+            rows = _parquet_rows(pages_path) if os.path.isdir(pages_path) else -1
+        except OSError:
+            mtime, rows = -1.0, -1
+        return f"{pages_path}|{mtime}|{rows}"
+
+    def _load_projects(self) -> None:
+        """(Re)read the projects dim — hot-reload analog of
+        ``projectdb.check_update`` polled per loop by the reference
+        scheduler (S4): cheap stat check per round, re-read on change."""
+        try:
+            st = os.stat(self.projects_path)
+            sig = (st.st_mtime_ns, st.st_size)
+        except OSError:
+            sig = None
+        if sig is not None and sig == self._proj_stat:
+            return
+        self._proj_stat = sig
+        self.projects = self.spark.read.parquet(self.projects_path)
         # tiny dim — driver-side copy for cron/schedulability decisions
         self._proj_rows = {
             r["project"]: r.asDict() for r in self.projects.collect()
@@ -126,6 +200,85 @@ class CrawlEngine:
         path = self.snap.table_dir(r, name)
         (df.coalesce(partitions) if partitions else df).write.mode("overwrite").parquet(path)
         return self.snap.rel(path)
+
+    # ---- partitioned frontier -------------------------------------------
+    def _frontier_dirs(self, man: dict | None) -> dict[int, str]:
+        t = (man or {}).get("tables", {}).get("frontier") or {}
+        return {int(p): rel for p, rel in t.items()}
+
+    def _read_frontier(self, dirs: dict[int, str], pids) -> DataFrame:
+        paths = [self.snap.abspath(dirs[p]) for p in pids if p in dirs]
+        if not paths:
+            return S.empty_df(self.spark, S.FRONTIER_SCHEMA)
+        return self.spark.read.schema(S.FRONTIER_SCHEMA).parquet(*paths)
+
+    # ---- seen-state blobs ------------------------------------------------
+    def _load_blobs(self, man: dict | None) -> dict[int, tuple[bytes | None, bytes | None, int]]:
+        """Previous-round blob bytes, read DRIVER-side from the store
+        (executors receive them via broadcast — never via shared FS)."""
+        out: dict[int, tuple[bytes | None, bytes | None, int]] = {}
+        for pid, ent in ((man or {}).get("blobs", {}) or {}).items():
+            b = c = None
+            if ent.get("bloom"):
+                with open(self.snap.abspath(ent["bloom"]), "rb") as f:
+                    b = f.read()
+            if ent.get("cuckoo"):
+                with open(self.snap.abspath(ent["cuckoo"]), "rb") as f:
+                    c = f.read()
+            out[int(pid)] = (b, c, int(ent.get("n_keys", 0)))
+        return out
+
+    def _maybe_rebuild_blooms(
+        self,
+        man: dict | None,
+        fr_dirs: dict[int, str],
+        prev_blobs: dict[int, tuple[bytes | None, bytes | None, int]],
+        blob_meta: dict,
+        r: int,
+    ) -> None:
+        """Bloom growth path: partitions whose inserted-key count
+        exceeds their sized capacity are rebuilt at 2x from the
+        frontier keys (one grouped-map job over just those partitions).
+        Mutates prev_blobs + blob_meta in place."""
+        cfg = self.cfg
+        saturated = [
+            int(p)
+            for p, ent in blob_meta.items()
+            if ent.get("n_keys", 0) > ent.get("capacity", cfg.bloom_expected_keys)
+            and int(p) in fr_dirs
+        ]
+        if not saturated:
+            return
+        caps = {
+            p: 2 * max(
+                blob_meta[str(p)].get("n_keys", 0),
+                blob_meta[str(p)].get("capacity", cfg.bloom_expected_keys),
+            )
+            for p in saturated
+        }
+        fr_sat = self._read_frontier(fr_dirs, saturated).select(
+            pid_col(cfg.n_partitions).alias("pid"),
+            F.md5(F.concat_ws("|", "project", "canon_url")).alias("seen_k"),
+        )
+        blob_dir = self.snap.blob_dir(r)
+        for row in rebuild_blooms(fr_sat, caps, cfg).collect():
+            pid = int(row["pid"])
+            path = os.path.join(blob_dir, f"bloom_{pid:05d}.rebuilt.bin")
+            with open(path, "wb") as f:
+                f.write(bytes(row["bloom_blob"]))
+            _b, c, _n = prev_blobs.get(pid, (None, None, 0))
+            prev_blobs[pid] = (bytes(row["bloom_blob"]), c, int(row["n_keys"]))
+            ent = dict(blob_meta.get(str(pid), {}))
+            ent.update(
+                bloom=self.snap.rel(path), n_keys=int(row["n_keys"]), capacity=caps[pid]
+            )
+            blob_meta[str(pid)] = ent
+
+    def frontier(self) -> DataFrame:
+        """The full current frontier (all partition dirs of the last
+        committed snapshot) — read-only convenience for tests/queries."""
+        dirs = self._frontier_dirs(self.snap.read_manifest())
+        return self._read_frontier(dirs, list(dirs))
 
     # ---- cron (F9) --------------------------------------------------------
     def _cron_rows(self, cron_state: dict[str, int], now: float) -> tuple[list, dict]:
@@ -156,8 +309,9 @@ class CrawlEngine:
 
         man = snap.read_manifest()
         state = (man or {}).get("state", {})
+        self._load_projects()  # S4 hot-reload (stat-guarded)
 
-        fr = self._read(man, "frontier", S.FRONTIER_SCHEMA)
+        fr_dirs = self._frontier_dirs(man)
         follows = self._read(man, "follows", S.RAW_UPDATE_SCHEMA)
         host_state = self._read(man, "host_state", S.HOST_STATE_SCHEMA)
 
@@ -180,31 +334,61 @@ class CrawlEngine:
             StorageLevel.MEMORY_AND_DISK
         )
 
-        # --- seen probe: materialized eagerly so the deterministic blob
-        # writes happen exactly once per round attempt (J2/J3).
+        # --- seen probe (J2/J3): pure grouped-map; previous blobs go out
+        # via broadcast, updated blobs come back as binary state rows in
+        # the written probe table and are persisted by the DRIVER below.
+        blob_meta = dict((man or {}).get("blobs", {}))
+        prev_blobs = self._load_blobs(man)
+        self._maybe_rebuild_blooms(man, fr_dirs, prev_blobs, blob_meta, r)
+
         probe_cols = ["project", "taskid", "seen_k", "pid"]
         probe_in = cancels.select(*probe_cols, "cancel").unionByName(
             upd.select(*probe_cols).withColumn("cancel", F.lit(False))
         )
-        prev_blobs = {
-            int(pid): (self.snap.abspath(b), self.snap.abspath(c))
-            for pid, (b, c) in (man or {}).get("blobs", {}).items()
-        }
-        probe_out = probe_and_update(probe_in, prev_blobs, snap.blob_dir(r), cfg)
+        probe_out = probe_and_update(probe_in, prev_blobs, cfg)
         probe_rel = self._write(probe_out, r, "probe")
-        probe = spark.read.parquet(snap.abspath(probe_rel))
+        probe_abs = snap.abspath(probe_rel)
+
+        # driver-side blob persistence + touched-partition set
+        blob_dir = snap.blob_dir(r)
+        for srow in _parquet_state_rows(probe_abs):
+            pid = int(srow["pid"])
+            bp = os.path.join(blob_dir, f"bloom_{pid:05d}.bin")
+            cp = os.path.join(blob_dir, f"cuckoo_{pid:05d}.bin")
+            with open(bp, "wb") as f:
+                f.write(srow["bloom_blob"])
+            with open(cp, "wb") as f:
+                f.write(srow["cuckoo_blob"])
+            ent = dict(blob_meta.get(str(pid), {}))
+            ent.update(
+                bloom=snap.rel(bp),
+                cuckoo=snap.rel(cp),
+                n_keys=int(srow["n_keys"]),
+                capacity=ent.get("capacity", cfg.bloom_expected_keys),
+            )
+            blob_meta[str(pid)] = ent
+        pid_counts = _parquet_value_counts(probe_abs, "pid")
+        touched_u = sorted(int(p) for p in pid_counts)
+        cancel_counts = _parquet_value_counts(probe_abs, "cancel")
+        had_cancels = cancel_counts.get(True, 0) > 0
+
+        probe_df = spark.read.parquet(probe_abs).filter(F.col("taskid").isNotNull())
         mark("normalize_probe")
 
-        # --- merge (steps 0-1). No count actions here: frontier size
-        # comes from the written parquet footers, and the pre-merge size
-        # from the previous manifest (exact fallback below when cancels
-        # actually removed rows this round).
-        fr1 = fr.join(cancels.select(*KEY), KEY, "left_anti")
-        fr2 = merge_frontier(
-            fr1, upd, probe.filter(~F.col("cancel")), now, r, cfg
+        # --- merge (steps 0-1) over TOUCHED partitions only: the big
+        # frontier-side join reads just the partition dirs named by this
+        # round's updates; everything else is carried forward by path.
+        fr_t = self._read_frontier(fr_dirs, touched_u)
+        fr1_t = fr_t.join(cancels.select(*KEY), KEY, "left_anti")
+        fr2_t = merge_frontier(
+            fr1_t, upd, probe_df.filter(~F.col("cancel")), now, r, cfg
         ).persist(StorageLevel.MEMORY_AND_DISK)
+        untouched = [p for p in fr_dirs if p not in set(touched_u)]
+        fr_u = self._read_frontier(fr_dirs, untouched)
+        fr2 = fr2_t.unionByName(fr_u)
 
-        # --- candidates (P2/P3/P6)
+        # --- candidates (P2/P3/P6): full scan with status/exetime
+        # pushdown (pruned columnar read — no rewrite implied)
         schedulable = [
             n for n, p in self._proj_rows.items() if p["status"] in SCHEDULABLE
         ]
@@ -218,6 +402,29 @@ class CrawlEngine:
         sched, blocked = schedule_round(cands, self.robots, host_state, cfg, now)
         sched = sched.persist(StorageLevel.MEMORY_AND_DISK)
         blocked = blocked.persist(StorageLevel.MEMORY_AND_DISK)
+
+        # per-host deterministic sequence for the schedule log (the
+        # crawl-order artifact the equivalence gate checks). Written
+        # FIRST: it materializes merge+politeness and its footers give
+        # the exact schedule size — which then drives the fetch-join
+        # broadcast decision (no blind broadcast of an unbounded
+        # schedule — ADVICE r1).
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("host").orderBy(*order_cols())
+        schedule_log = sched.select(
+            F.lit(r).alias("round"),
+            "host",
+            (F.row_number().over(w) - 1).alias("seq_in_host"),
+            "project",
+            "taskid",
+            "canon_url",
+            "priority",
+        )
+        tables = dict((man or {}).get("tables", {}))
+        sched_rel = self._write(schedule_log, r, "schedule")
+        n_sched = _parquet_rows(snap.abspath(sched_rel))
+        mark("schedule")
 
         # --- host_state carry-over (only hosts that actually scheduled)
         hs_new = (
@@ -233,9 +440,9 @@ class CrawlEngine:
         ).unionByName(hs_new)
 
         # --- fetch + extract (J1, F5/F7)
-        fetched = fetch_and_extract(sched, self.pages_canon, cfg).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        fetched = fetch_and_extract(
+            sched, self.pages_canon, cfg, sched_rows=n_sched
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         ok = fetched.filter(F.col("code") == 200)
         fail = fetched.filter(F.col("code") != 200)
 
@@ -261,7 +468,9 @@ class CrawlEngine:
             F.explode("links").alias("url"), F.col("project")
         ).withColumn("canon_url", F.col("url"))
 
-        # --- settlement (steps 9 + robots BAD): per-key status deltas
+        # --- settlement (steps 9 + robots BAD): per-key status deltas.
+        # Each row carries its pid so the frontier rewrite below knows
+        # exactly which partitions the settles touch.
         retry_case = F.lit(float(cfg.retry_delay[""]))
         for retried_n, delay in sorted(
             (k, v) for k, v in cfg.retry_delay.items() if k != ""
@@ -271,8 +480,10 @@ class CrawlEngine:
                 F.lit(float(delay)),
             ).otherwise(retry_case)
 
+        spid = pid_col(cfg.n_partitions).alias("pid")
         settle_ok = ok.select(
             *KEY,
+            spid,
             F.when(
                 F.col("auto_recrawl") & (F.col("age") >= 0), F.lit(ACTIVE)
             ).otherwise(F.lit(SUCCESS)).alias("new_status"),
@@ -285,6 +496,7 @@ class CrawlEngine:
         )
         settle_fail = fail.select(
             *KEY,
+            spid,
             F.when(F.col("retries_left") > 0, F.lit(ACTIVE))
             .otherwise(F.lit(FAILED))
             .alias("new_status"),
@@ -297,6 +509,7 @@ class CrawlEngine:
         )
         settle_bad = blocked.select(
             *KEY,
+            spid,
             F.lit(BAD).alias("new_status"),
             F.lit(None).cast("double").alias("new_exetime"),
             F.lit(None).cast("int").alias("new_retries_left"),
@@ -305,14 +518,26 @@ class CrawlEngine:
         )
         settle = settle_ok.unionByName(settle_fail).unionByName(settle_bad)
 
+        settle_rel = self._write(settle, r, "settle")
+        kind_counts = _parquet_value_counts(snap.abspath(settle_rel), "kind")
+        settle_pids = set(
+            int(p) for p in _parquet_value_counts(snap.abspath(settle_rel), "pid")
+        )
+        mark("fetch_settle")
+
+        # --- frontier rewrite: ONLY partitions touched by updates or
+        # settles. Untouched dirs carry forward by path (MERGE INTO).
+        touched_all = sorted(set(touched_u) | settle_pids)
+        extra_pids = [p for p in touched_all if p not in set(touched_u)]
+        need_fr = fr2_t.unionByName(self._read_frontier(fr_dirs, extra_pids))
         fr_final = (
-            fr2.alias("o")
-            .join(settle.alias("s"), KEY, "left")
+            need_fr.alias("o")
+            .join(settle.drop("pid").alias("s"), KEY, "left")
             .select(
                 *KEY,
                 *[
                     F.col(f"o.{c}").alias(c)
-                    for c in fr2.columns
+                    for c in need_fr.columns
                     if c
                     not in (*KEY, "status", "exetime", "retries_left", "lastcrawltime", "updatetime")
                 ],
@@ -326,63 +551,55 @@ class CrawlEngine:
             )
             .select([f.name for f in S.FRONTIER_SCHEMA.fields])
         )
-
-        # per-host deterministic sequence for the schedule log (the
-        # crawl-order artifact the equivalence gate checks)
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("host").orderBy(*order_cols())
-        schedule_log = sched.select(
-            F.lit(r).alias("round"),
-            "host",
-            (F.row_number().over(w) - 1).alias("seq_in_host"),
-            "project",
-            "taskid",
-            "canon_url",
-            "priority",
+        fr_out_dir = snap.table_dir(r, "frontier")
+        (
+            fr_final.withColumn("pid", pid_col(cfg.n_partitions))
+            .repartition(F.col("pid"))  # cluster rows → one file per pid dir
+            .write.mode("overwrite")
+            .partitionBy("pid")
+            .parquet(fr_out_dir)
         )
+        frontier_dirs_new = {p: rel for p, rel in fr_dirs.items() if p not in set(touched_all)}
+        for p in touched_all:
+            d = os.path.join(fr_out_dir, f"pid={p}")
+            if os.path.isdir(d):
+                frontier_dirs_new[p] = snap.rel(d)
+        tables["frontier"] = {str(p): rel for p, rel in sorted(frontier_dirs_new.items())}
+        mark("frontier_write")
 
-        # --- writes + atomic commit. ONE job (the frontier write)
-        # materializes the whole merge→politeness→fetch→extract→settle
-        # chain into the persisted intermediates; the remaining sinks
-        # then run as concurrent cache-served Spark jobs (driver
-        # threads). All metric counts come from the written parquet
-        # footers — zero standalone count actions per round.
-        tables = dict((man or {}).get("tables", {}))
-        tables["frontier"] = self._write(fr_final, r, "frontier")
-        mark("pipeline")
-
+        # --- remaining sinks as concurrent cache-served jobs
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=5) as pool:
+        with ThreadPoolExecutor(max_workers=4) as pool:
             f_follows = pool.submit(self._write, new_follows, r, "follows")
             f_host = pool.submit(self._write, host_state_next, r, "host_state", 1)
             f_results = pool.submit(self._write, results, r, "results")
-            f_sched_log = pool.submit(self._write, schedule_log, r, "schedule")
-            f_settle = pool.submit(self._write, settle, r, "settle")
             tables["follows"] = f_follows.result()
             tables["host_state"] = f_host.result()
             tables["probe"] = probe_rel
             tables.setdefault("results", [])
             tables["results"] = list(tables["results"]) + [f_results.result()]
             tables.setdefault("schedule", [])
-            tables["schedule"] = list(tables["schedule"]) + [f_sched_log.result()]
+            tables["schedule"] = list(tables["schedule"]) + [sched_rel]
             tables.setdefault("settle", [])
-            tables["settle"] = list(tables["settle"]) + [f_settle.result()]
+            tables["settle"] = list(tables["settle"]) + [settle_rel]
 
         # --- counts from written artifacts (driver-side, no Spark jobs)
-        n_frontier = _parquet_rows(snap.abspath(tables["frontier"]))
-        n_sched = _parquet_rows(snap.abspath(tables["schedule"][-1]))
-        kinds = _parquet_column(snap.abspath(tables["settle"][-1]), "kind")
-        n_ok = sum(1 for k in kinds if k == "ok")
-        n_fail = sum(1 for k in kinds if k == "fail")
-        n_blocked = sum(1 for k in kinds if k == "blocked")
+        n_frontier = sum(
+            _parquet_rows(snap.abspath(rel)) for rel in frontier_dirs_new.values()
+        )
+        n_ok = kind_counts.get("ok", 0)
+        n_fail = kind_counts.get("fail", 0)
+        n_blocked = kind_counts.get("blocked", 0)
         prev_frontier = ((man or {}).get("lineage", {}).get("counts", {})).get(
             "frontier", 0
         )
-        had_cancels = any(_parquet_column(snap.abspath(probe_rel), "cancel"))
         if had_cancels:
-            n_prev = fr1.count()  # exact (rare path: cancels this round)
+            # exact (rare path): survivors of touched partitions + the
+            # untouched partitions' footer counts
+            n_prev = fr1_t.count() + sum(
+                _parquet_rows(snap.abspath(fr_dirs[p])) for p in untouched
+            )
         else:
             n_prev = prev_frontier
         n_new = n_frontier - n_prev
@@ -397,28 +614,16 @@ class CrawlEngine:
             self._write(metrics_df, r, "metrics", partitions=1)
         ]
 
-        blobs = dict((man or {}).get("blobs", {}))
-        blob_dir = snap.blob_dir(r)
-        for fn in os.listdir(blob_dir):
-            kind, pid = fn.rsplit(".", 1)[0].split("_")
-            ent = blobs.get(pid) or [None, None]
-            ent = list(ent)
-            rel = snap.rel(os.path.join(blob_dir, fn))
-            if kind == "bloom":
-                ent[0] = rel
-            else:
-                ent[1] = rel
-            blobs[pid] = ent
-
         snap.commit(
             {
                 "round": r,
                 "tables": tables,
-                "blobs": blobs,
+                "blobs": blob_meta,
                 "state": {"cron_count": cron_state},
                 "lineage": {
                     "round": r,
                     "now": now,
+                    "touched_pids": touched_all,
                     "counts": {
                         "scheduled": n_sched,
                         "ok": n_ok,
@@ -431,7 +636,7 @@ class CrawlEngine:
             }
         )
         mark("sinks_commit")
-        for df in (fr2, sched, blocked, fetched, upd_all, upd):
+        for df in (fr2_t, sched, blocked, fetched, upd_all, upd):
             df.unpersist()
         return {
             "phase_s": phase_s,
@@ -486,7 +691,7 @@ class CrawlEngine:
             "priority int, exetime double, age double, auto_recrawl boolean, "
             "callback string, retries_left int",
         )
-        row = fetch_and_extract(one, self.pages_canon, self.cfg).collect()[0]
+        row = fetch_and_extract(one, self.pages_canon, self.cfg, sched_rows=1).collect()[0]
         return {
             "url": cu,
             "status_code": row["code"],

@@ -7,6 +7,23 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """Derive the local-mode heap from the host's available memory
+    (~40%, clamped to [4g, 48g]) instead of hardcoding a sandbox-sized
+    value that would swap smaller hosts; override via SPARK_DRIVER_MEM.
+    local-mode note: the 'driver' heap hosts all executor threads, so
+    it must scale with the machine (8g thrashes at local[32])."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    avail_gb = int(line.split()[1]) // (1024 * 1024)
+                    return f"{min(48, max(4, int(avail_gb * 0.4)))}g"
+    except OSError:
+        pass
+    return "8g"
+
+
 def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
@@ -20,6 +37,7 @@ def get_spark(
     """
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
     sp = shuffle_partitions or max(8, 2 * cores)
+    driver_mem = os.environ.get("SPARK_DRIVER_MEM") or _default_driver_mem()
     return (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -31,7 +49,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.driver.memory", driver_mem)
         .config("spark.driver.maxResultSize", "4g")
         .config("spark.ui.enabled", "false")
         .getOrCreate()

@@ -81,18 +81,30 @@ class SnapshotStore:
         if man is None:
             return
         referenced: set[str] = set()
-        for rel in list(man.get("tables", {}).values()):
-            for p in rel if isinstance(rel, list) else [rel]:
+
+        def _mark(p) -> None:
+            if isinstance(p, str):
                 parts = p.split(os.sep)
                 if len(parts) >= 2 and parts[0] == "rounds":
                     referenced.add(parts[1])
-        for pair in man.get("blobs", {}).values():
-            for blob in pair if isinstance(pair, (list, tuple)) else [pair]:
-                if not blob:
-                    continue
-                parts = blob.split(os.sep)
-                if len(parts) >= 2 and parts[0] == "rounds":
-                    referenced.add(parts[1])
+
+        for rel in list(man.get("tables", {}).values()):
+            if isinstance(rel, dict):  # partitioned frontier: pid -> dir
+                for p in rel.values():
+                    _mark(p)
+            elif isinstance(rel, list):
+                for p in rel:
+                    _mark(p)
+            else:
+                _mark(rel)
+        for ent in man.get("blobs", {}).values():
+            if isinstance(ent, dict):  # {"bloom": rel, "cuckoo": rel, ...}
+                _mark(ent.get("bloom"))
+                _mark(ent.get("cuckoo"))
+            else:
+                for blob in ent if isinstance(ent, (list, tuple)) else [ent]:
+                    if blob:
+                        _mark(blob)
         rounds_root = os.path.join(self.root, "rounds")
         if not os.path.isdir(rounds_root):
             return

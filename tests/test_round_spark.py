@@ -89,8 +89,7 @@ def test_crawl_order_equivalence(spark, engine_run, sim_state):
 def test_final_frontier_equivalence(spark, engine_run, sim_state):
     """Same (project, taskid) → (status, retries_left) after N rounds."""
     eng, _ = engine_run
-    man = eng.snap.read_manifest()
-    fr = spark.read.parquet(eng.snap.abspath(man["tables"]["frontier"])).collect()
+    fr = eng.frontier().collect()
     got = {(r["project"], r["taskid"]): (r["status"], r["retries_left"]) for r in fr}
     want = {
         k: (t.status, t.retries_left) for k, t in sim_state.frontier.items()
