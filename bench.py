@@ -90,6 +90,17 @@ def ensure_fixtures(spark, sf_dir: str, mult: int = 1, page_words: int = 30) -> 
         )
         with open(marker, "w") as f:
             f.write(tag)
+    else:
+        # tiny dims (projects/robots) may evolve without a GEN_VERSION
+        # bump — refresh them on every run (sub-second single-row writes)
+        from pyspider_spark.bench.webgen import synth_projects, synth_robots
+
+        synth_projects(spark).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out, "projects.parquet")
+        )
+        synth_robots(spark).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out, "robots.parquet")
+        )
     return out
 
 

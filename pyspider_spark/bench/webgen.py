@@ -178,8 +178,11 @@ def synth_seeds(
 
 
 def synth_projects(spark: SparkSession) -> DataFrame:
+    # NULL rate/burst = unthrottled project (the bench measures engine
+    # throughput, not a configured project cap); the J5 cap path is
+    # correctness-covered by the equivalence suite + gate entries.
     return spark.createDataFrame(
-        [("bench", "RUNNING", 50.0, 50.0, 0.0, "default_extractor")],
+        [("bench", "RUNNING", None, None, 0.0, "default_extractor")],
         "project string, status string, rate double, burst double, "
         "min_tick double, script_ref string",
     )

@@ -73,6 +73,11 @@ class RoundConfig:
     # limit); past the bound the join falls back to AQE's choice.
     fetch_broadcast_max_rows: int = 20_000_000
     respect_robots: bool = True
+    # P6 — pause a project after this many processor exceptions in one
+    # round (``scheduler/scheduler.py — EXCEPTION_LIMIT``); unpaused
+    # when the projects dim changes (the reference re-enables on
+    # project update).
+    exception_limit: int = 3
     analyze: bool = False  # per-page text analysis in the extract pass (ops/textstats)
     # pages table urls already canonical (ingest-time column) ⇒ skip the
     # one-time canon index rewrite at engine init

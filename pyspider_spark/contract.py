@@ -547,9 +547,12 @@ _DIM = 64
 
 
 def _plane(p: int) -> list[float]:
-    """Deterministic pseudo-random hyperplane (public-knowledge RHP-LSH;
-    integer-valued so literals are fp-exact in both engines)."""
-    return [float(((p * 31 + j * 17) % 7) - 3) for j in range(_DIM)]
+    """Deterministic pseudo-random hyperplane — single definition
+    shared with the engine op (ops/similarity.rhp_plane), so the SQL
+    oracle and the bucketed kernel partition identically."""
+    from pyspider_spark.ops.similarity import rhp_plane
+
+    return rhp_plane(p, _DIM)
 
 
 def _sql_lsh_buckets(d: str) -> str:
@@ -564,6 +567,33 @@ def _sql_lsh_buckets(d: str) -> str:
 WITH {_vec_cte(d)}
 SELECT vec_id, CAST({' + '.join(terms)} AS BIGINT) AS bucket
 FROM e
+"""
+
+
+def _sql_lsh_near_dup(d: str) -> str:
+    """Oracle for the engine's bucketed near-dup (ops/similarity.
+    lsh_near_dup): RHP bucket assign + within-bucket pair scoring —
+    the oracle mirrors the bucketing, so the approximate op is still
+    exactly checkable."""
+    arr = "array" if d == "spark" else "list_value"
+    xf = "transform" if d == "spark" else "list_transform"
+    terms = []
+    for p in range(_N_PLANES):
+        lit = ", ".join(f"CAST({c} AS DOUBLE)" for c in _plane(p))
+        terms.append(
+            f"(CASE WHEN {_dot(d, 'ev', f'{arr}({lit})')} >= 0 THEN {1 << p} ELSE 0 END)"
+        )
+    return f"""
+WITH {_vec_cte(d)},
+bk AS (SELECT vec_id, ev, CAST({' + '.join(terms)} AS BIGINT) AS bucket FROM e),
+n0 AS (SELECT vec_id, bucket, ev, sqrt({_dot(d, 'ev', 'ev')}) AS nrm FROM bk),
+n AS (SELECT vec_id, bucket, {xf}(ev, x -> x / nrm) AS nv FROM n0),
+scored AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round({_dot(d, 'a.nv', 'b.nv')}, 6) AS cosine
+  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= 0.2
 """
 
 
@@ -689,6 +719,272 @@ def q_schedule_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_schedule_multiproject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/O2 — the engine's real politeness pass with TWO capped
+    projects of different bursts (p0→7, p1→12) and one uncapped (p2),
+    from cold state. Oracle: per-host top-⌊burst⌋ then per-project
+    O1-ordered top-⌊cap⌋ — the same two-stage selection in SQL."""
+    from pyspider_spark.config import RoundConfig
+    from pyspider_spark.engine import schema as S
+    from pyspider_spark.engine.politeness import schedule_round
+
+    cfg = RoundConfig(rate=1.0, burst=float(BURST), n_partitions=4, round_budget=None)
+    fr = _frontier_df(spark, sf_dir)
+    cands = fr.filter(
+        (F.col("status") == 1) & (F.col("exetime") <= F.lit(NOW))
+    ).select(
+        "project",
+        F.md5("url").alias("taskid"),
+        "url",
+        F.col("url").alias("canon_url"),
+        "host",
+        "priority",
+        "exetime",
+        F.lit(-1.0).alias("age"),
+        F.lit(False).alias("auto_recrawl"),
+        F.lit("index_page").alias("callback"),
+        F.lit(3).alias("retries_left"),
+        "k",
+    )
+    robots = S.empty_df(spark, "host string, robots_txt string")
+    host_state = S.empty_df(spark, S.HOST_STATE_SCHEMA)
+    sched, _blocked = schedule_round(
+        cands.drop("k"), robots, host_state, cfg, NOW,
+        project_caps={"p0": 7, "p1": 12},
+    )
+    return sched.join(cands.select("taskid", "k"), "taskid").select(
+        "k", "project", "host", F.col("canon_url").alias("url"), "priority"
+    )
+
+
+ORACLE_SCHEDULE_MULTIPROJECT = f"""
+WITH {FRONTIER_CTE},
+cand AS (
+  SELECT k, url, host, priority, exetime, project, md5(url) AS taskid
+  FROM frontier WHERE status = 1 AND exetime <= {NOW}
+),
+hranked AS (
+  SELECT *, row_number() OVER (PARTITION BY host
+            ORDER BY priority DESC, exetime ASC, taskid ASC) AS hrnk
+  FROM cand
+),
+hadm AS (SELECT * FROM hranked WHERE hrnk <= {BURST}),
+pranked AS (
+  SELECT *, row_number() OVER (PARTITION BY project
+            ORDER BY priority DESC, exetime ASC, taskid ASC) AS prnk
+  FROM hadm
+)
+SELECT k, project, host, url, priority FROM pranked
+WHERE (project = 'p0' AND prnk <= 7)
+   OR (project = 'p1' AND prnk <= 12)
+   OR project = 'p2'
+"""
+
+
+def _sched_cols(df: DataFrame, url_col: str = "url", callback: str = "index_page") -> DataFrame:
+    """Wrap a (key, url) frame in the engine's schedule-row shape."""
+    return df.select(
+        F.lit("p0").alias("project"),
+        F.md5(url_col).alias("taskid"),
+        F.col(url_col).alias("url"),
+        F.col(url_col).alias("canon_url"),
+        F.regexp_extract(url_col, "http://([^/]+)/", 1).alias("host"),
+        F.lit(0).alias("priority"),
+        F.lit(0.0).alias("exetime"),
+        F.lit(-1.0).alias("age"),
+        F.lit(False).alias("auto_recrawl"),
+        F.lit(callback).alias("callback"),
+        F.lit(3).alias("retries_left"),
+        F.col("k"),
+    )
+
+
+def q_fetch_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/J1/F5/F7 — the engine's REAL ``fetch_and_extract`` (payload-
+    stationary join decomposition + dispatching Arrow extraction) over
+    pages synthesized from `documents`; misses exercise the 404 path.
+    Oracle: closed-form text/link arithmetic on the same construction
+    (text = '\\n'-joined text nodes ⇒ len(trim(text)) + 2 per anchor)."""
+    from pyspider_spark.config import RoundConfig
+    from pyspider_spark.engine.fetchx import fetch_and_extract
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    url = F.concat(F.lit("http://docs.example/d/"), F.col("doc_id"))
+    n_anchor = (F.col("doc_id") % 3).cast("int")
+    html = F.encode(
+        F.concat(
+            F.lit("<html><body><p>"),
+            F.col("text"),
+            F.lit("</p>"),
+            F.repeat(F.lit('<a href="/l/0">x</a>'), n_anchor),
+            F.lit("</body></html>"),
+        ),
+        "utf-8",
+    )
+    pages = docs.select(url.alias("canon_url"), html.alias("html"))
+    hits = docs.select(F.col("doc_id").alias("k"), url.alias("url"))
+    misses = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("k"),
+        F.concat(F.lit("http://docs.example/m/"), F.col("doc_id")).alias("url"),
+    )
+    sched = _sched_cols(hits.unionByName(misses))
+    out = fetch_and_extract(sched, pages, RoundConfig(n_partitions=4))
+    return out.select(
+        "k",
+        "code",
+        F.coalesce(F.length("text"), F.lit(0)).alias("text_len"),
+        F.coalesce(F.size("links"), F.lit(0)).alias("n_links"),
+    )
+
+
+ORACLE_FETCH_EXTRACT = """
+WITH hits AS (
+  SELECT doc_id AS k, 200 AS code,
+         CAST(length(trim(text)) + 2 * (doc_id % 3) AS INT) AS text_len,
+         CAST(doc_id % 3 AS INT) AS n_links
+  FROM documents
+),
+misses AS (
+  SELECT doc_id + 1000000 AS k, 404 AS code, 0 AS text_len, 0 AS n_links
+  FROM documents WHERE doc_id % 7 = 0
+)
+SELECT * FROM hits UNION ALL SELECT * FROM misses
+"""
+
+
+def q_data_url_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/F12 — data: payload decode through the REAL fetch path: each
+    document travels as a base64 data: url, the fetch join short-
+    circuits, and the _on_message handler's text IS the decoded
+    payload. Oracle: byte length of the original text."""
+    from pyspider_spark.config import RoundConfig
+    from pyspider_spark.engine.fetchx import fetch_and_extract
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select(
+        F.col("doc_id").alias("k"),
+        F.concat(
+            F.lit("data:text/plain;base64,"), F.base64(F.encode("text", "utf-8"))
+        ).alias("url"),
+    )
+    pages = spark.createDataFrame([], "canon_url string, html binary")
+    sched = _sched_cols(docs, callback="_on_message")
+    out = fetch_and_extract(sched, pages, RoundConfig(n_partitions=4))
+    return out.select("k", "code", F.length("text").alias("text_len"))
+
+
+ORACLE_DATA_URL_FETCH = """
+SELECT doc_id AS k, 200 AS code, CAST(length(text) AS INT) AS text_len
+FROM documents
+"""
+
+
+def q_merge_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/J2/P4 — the REAL normalize→collapse→probe→merge path over two
+    batches: batch A inserts the evens; batch B re-sends everything with
+    new priorities/exetimes plus force_update/itag/age restart triggers.
+    The bloom blobs from batch A are carried into batch B's probe as
+    the engine does between rounds (broadcast in, state rows out).
+    Oracle: the on_old_request P4 rule written directly in SQL."""
+    from pyspider_spark.config import RoundConfig
+    from pyspider_spark.engine import schema as S
+    from pyspider_spark.engine.seen import probe_and_update
+    from pyspider_spark.engine.stages import (
+        collapse_updates,
+        ensure_raw_columns,
+        merge_frontier,
+        normalize_updates,
+    )
+
+    cfg = RoundConfig(n_partitions=4)
+    fr = _frontier_df(spark, sf_dir)
+
+    def batch(df):
+        upd_all = normalize_updates(ensure_raw_columns(df), cfg)
+        return collapse_updates(upd_all)
+
+    raw_a = fr.filter(F.col("k") % 2 == 0).select(
+        "url",
+        F.lit("p0").alias("project"),
+        (F.col("k") % 10).cast("int").alias("priority"),
+        F.lit(T0).alias("exetime"),
+    )
+    upd_a = batch(raw_a)
+    probe_in_a = upd_a.select("project", "taskid", "seen_k", "pid").withColumn(
+        "cancel", F.lit(False)
+    )
+    probe_a = probe_and_update(probe_in_a, {}, cfg)
+    # blobs back to the driver exactly like the round does (state rows)
+    prev = {
+        int(r["pid"]): (bytes(r["bloom_blob"]), bytes(r["cuckoo_blob"]), int(r["n_keys"]))
+        for r in probe_a.filter(F.col("taskid").isNull()).collect()
+    }
+    probe_a_data = probe_a.filter(F.col("taskid").isNotNull())
+    empty_fr = S.empty_df(spark, S.FRONTIER_SCHEMA)
+    fr_a = merge_frontier(empty_fr, upd_a, probe_a_data, T0, 0, cfg)
+
+    raw_b = fr.select(
+        "url",
+        F.lit("p0").alias("project"),
+        ((F.col("k") + 3) % 10).cast("int").alias("priority"),
+        F.lit(T0 + 1.0).alias("exetime"),
+        F.when(F.col("k") % 5 == 0, True).otherwise(False).alias("force_update"),
+        F.when(F.col("k") % 7 == 0, F.lit("v2")).alias("itag"),
+        F.when(F.col("k") % 11 == 0, F.lit(40.0)).otherwise(F.lit(-1.0)).alias("age"),
+    )
+    upd_b = batch(raw_b)
+    probe_in_b = upd_b.select("project", "taskid", "seen_k", "pid").withColumn(
+        "cancel", F.lit(False)
+    )
+    probe_b = probe_and_update(probe_in_b, prev, cfg).filter(
+        F.col("taskid").isNotNull()
+    )
+    fr_b = merge_frontier(fr_a, upd_b, probe_b, T0 + 50.0, 1, cfg)
+    return fr_b.select(
+        "url", "status", "priority", "exetime", "retries_left", "age", "itag",
+        "round_added",
+    )
+
+
+ORACLE_MERGE_FRONTIER = f"""
+WITH {FRONTIER_CTE},
+b AS (
+  SELECT k, url,
+    CAST((k + 3) % 10 AS INT) AS priority,
+    (k % 5 = 0) AS force_update,
+    CASE WHEN k % 7 = 0 THEN 'v2' END AS itag,
+    CASE WHEN k % 11 = 0 THEN 40.0 ELSE -1.0 END AS age
+  FROM frontier
+),
+merged AS (
+  SELECT b.k, b.url,
+    (b.k % 2 = 0) AS seen,
+    -- P4: force ∨ itag-change (old itag is null) ∨ age elapsed
+    (b.force_update OR b.itag IS NOT NULL OR b.age >= 0) AS restart,
+    CAST(b.k % 10 AS INT) AS old_priority,
+    b.priority AS new_priority, b.itag AS new_itag, b.age AS new_age
+  FROM b
+)
+SELECT url, 1 AS status,
+  CASE WHEN NOT seen THEN new_priority               -- batch-B insert
+       WHEN restart THEN greatest(old_priority, new_priority)
+       ELSE old_priority END AS priority,
+  CASE WHEN NOT seen THEN {T0 + 1.0}
+       WHEN restart THEN {T0 + 1.0}
+       ELSE {T0} END AS exetime,
+  3 AS retries_left,
+  CASE WHEN NOT seen THEN new_age
+       WHEN restart AND new_age >= 0 THEN new_age
+       ELSE -1.0 END AS age,
+  CASE WHEN NOT seen THEN new_itag
+       WHEN restart THEN new_itag
+       ELSE NULL END AS itag,
+  CASE WHEN seen THEN 0 ELSE 1 END AS round_added
+FROM merged
+"""
+
+
 def q_bloom_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 rows-only — partitioned numpy bloom kernel probe: per
     partition insert even-k urls, probe all; report exact counts.
@@ -807,22 +1103,41 @@ def _common_runner(sql: str) -> Callable[[SparkSession, str], DataFrame]:
 
 
 def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup, numpy block-matmul kernel (ops/
-    similarity.py) — same pair set as the SQL self-join oracle, each
-    pair one fused BLAS op instead of an interpreted array fold."""
+    """Embedding-cosine near-dup via the DISTRIBUTED block-grid kernel
+    (ops/similarity._near_dup_grid, n_blocks forced so the gate always
+    exercises the scale path, not the broadcast fast path) — same pair
+    set as the exact SQL self-join oracle."""
     from pyspider_spark.ops.similarity import near_dup_pairs
 
     register_views(spark, sf_dir)
-    return near_dup_pairs(spark, spark.table("embeddings"), threshold=0.2)
+    return near_dup_pairs(spark, spark.table("embeddings"), threshold=0.2, n_blocks=8)
+
+
+def q_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RHP-bucketed near-dup engine op — the LSH-assign → per-bucket
+    BLAS composition (the 10^8-vector plan); oracle mirrors the
+    bucketing so the output is exactly checkable."""
+    from pyspider_spark.ops.similarity import lsh_near_dup
+
+    register_views(spark, sf_dir)
+    return lsh_near_dup(spark, spark.table("embeddings"), threshold=0.2)
 
 
 CUSTOM: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "crawl_url_canon": (q_url_canon, ORACLE_URL_CANON),
     "sim_near_dup_pairs": (q_near_dup_pairs, _sql_near_dup_vec("duck")),
+    "sim_lsh_near_dup": (q_lsh_near_dup, _sql_lsh_near_dup("duck")),
     "crawl_schedule_stateful": (
         q_schedule_stateful,
         COMMON_SQL["crawl_politeness_topk"],
     ),
+    "crawl_schedule_multiproject": (
+        q_schedule_multiproject,
+        ORACLE_SCHEDULE_MULTIPROJECT,
+    ),
+    "crawl_fetch_extract": (q_fetch_extract, ORACLE_FETCH_EXTRACT),
+    "crawl_data_url_fetch": (q_data_url_fetch, ORACLE_DATA_URL_FETCH),
+    "crawl_merge_frontier": (q_merge_frontier, ORACLE_MERGE_FRONTIER),
     "crawl_bloom_seen": (q_bloom_seen, None),
     "mm_decode_features": (q_multimodal_features, None),
     "mm_resize": (q_multimodal_resize, None),

@@ -51,6 +51,8 @@ EXTRACT_TYPE = StructType(
 
 @F.pandas_udf(EXTRACT_TYPE)
 def extract_udf(html: pd.Series, canon_url: pd.Series) -> pd.DataFrame:
+    """Default-handler extraction (kept for pages-table golden-text
+    generation and byte-identity tests)."""
     texts, links, encs = [], [], []
     for h, u in zip(html, canon_url):
         ext = extract_page(h if isinstance(h, (bytes, bytearray)) else None, u or "")
@@ -58,6 +60,42 @@ def extract_udf(html: pd.Series, canon_url: pd.Series) -> pd.DataFrame:
         links.append(ext.links)
         encs.append(ext.encoding)
     return pd.DataFrame({"text": texts, "links": links, "encoding": encs})
+
+
+# dispatching extract: per-row handler lookup from the registry (U1/U2)
+# — one Arrow batch, messages encoded "project\x1fpayload" (U4);
+# handler exceptions are captured per row, truncated (F11 —
+# processor/processor.py RESULT_LOGS_LIMIT analog), never kill the batch
+ERROR_TRUNC = 200
+
+DISPATCH_TYPE = StructType(
+    [
+        StructField("text", StringType()),
+        StructField("links", ArrayType(StringType())),
+        StructField("messages", ArrayType(StringType())),
+        StructField("error", StringType()),
+    ]
+)
+
+
+@F.pandas_udf(DISPATCH_TYPE)
+def dispatch_udf(html: pd.Series, canon_url: pd.Series, callback: pd.Series) -> pd.DataFrame:
+    from pyspider_spark import handlers as H
+
+    texts, links, msgs, errs = [], [], [], []
+    for h, u, cb in zip(html, canon_url, callback):
+        try:
+            res = H.get(cb).fn(h if isinstance(h, (bytes, bytearray)) else None, u or "")
+            texts.append(res.text)
+            links.append(res.links)
+            msgs.append([f"{p}\x1f{m}" for p, m in res.messages])
+            errs.append(None)
+        except Exception as e:  # the processor must survive user-code errors
+            texts.append(None)
+            links.append(None)
+            msgs.append(None)
+            errs.append(f"{type(e).__name__}: {e}"[:ERROR_TRUNC])
+    return pd.DataFrame({"text": texts, "links": links, "messages": msgs, "error": errs})
 
 
 @F.pandas_udf(StringType())
@@ -144,19 +182,33 @@ def fetch_and_extract(
         .otherwise(F.lit(FETCH_NOT_FOUND))
     )
     f = f.withColumn("code", code)
+    # proc_ok (U3 @catch_status_code_error): the handler also runs on
+    # non-200 rows of flagged callbacks, and settles them SUCCESS — the
+    # reference's processor derives ok from the callback outcome, not
+    # the fetch code (processor/processor.py — on_task).
+    from pyspider_spark.handlers import catch_error_callbacks
+
+    catch = catch_error_callbacks()
+    dispatchable = (F.col("code") == FETCH_OK) | F.col("callback").isin(catch)
     ext = F.when(
-        F.col("code") == FETCH_OK, extract_udf(F.col("html"), F.col("canon_url"))
+        dispatchable,
+        dispatch_udf(F.col("html"), F.col("canon_url"), F.col("callback")),
     ).otherwise(F.lit(None))
     f = f.withColumn("_ext", ext)
+    # final ok = dispatched AND the handler didn't raise — the
+    # reference derives task ok from the callback outcome
     out = f.select(
         *[c for c in sched.columns],
         "code",
+        (dispatchable & F.col("_ext.error").isNull()).alias("proc_ok"),
         F.col("_ext.text").alias("text"),
         F.col("_ext.links").alias("links"),
+        F.col("_ext.messages").alias("messages"),
+        F.col("_ext.error").alias("proc_error"),
     )
     if cfg.analyze:
         out = out.withColumn(
             "analysis",
-            F.when(F.col("code") == FETCH_OK, analyze_udf(F.col("text"))),
+            F.when(F.col("proc_ok"), analyze_udf(F.col("text"))),
         )
     return out

@@ -58,3 +58,17 @@ def dump_results(
 def status_counts(frontier: DataFrame) -> DataFrame:
     """A1 — per-project status counts (taskdb.status_count)."""
     return frontier.groupBy("project", "status").count()
+
+
+def project_window_counts(
+    metrics_project: DataFrame, window_s: float = 300.0
+) -> DataFrame:
+    """A2 — tumbling-window rollup of the per-(round, project, kind)
+    counter table (``libs/counter.py — TimebaseAverageWindowCounter``
+    5m/1h/1d windows): window_start = floor(now / w) * w over the
+    crawl's logical clock. Partial+final hash agg; at 100 TB this is a
+    metrics-table-sized job, never a frontier-sized one."""
+    win = (F.floor(F.col("now") / window_s) * window_s).alias("window_start")
+    return metrics_project.groupBy("project", "kind", win).agg(
+        F.sum("cnt").alias("cnt")
+    )

@@ -92,6 +92,22 @@ def _parquet_value_counts(d: str, column: str) -> dict:
     return out
 
 
+def _parquet_group_counts(d: str, cols: list[str]) -> dict[tuple, int]:
+    """Grouped row counts over a written parquet dir, computed with
+    Arrow group_by driver-side (no Spark job)."""
+    import pyarrow.parquet as pq
+
+    out: dict[tuple, int] = {}
+    for fn in sorted(os.listdir(d)):
+        if fn.endswith(".parquet"):
+            t = pq.read_table(os.path.join(d, fn), columns=cols)
+            agg = t.group_by(cols).aggregate([([], "count_all")])
+            for row in agg.to_pylist():
+                key = tuple(row[c] for c in cols)
+                out[key] = out.get(key, 0) + row["count_all"]
+    return out
+
+
 def _parquet_state_rows(d: str) -> list[dict]:
     """The per-partition blob state rows of a written probe table
     (project IS NULL), read driver-side (≤ n_partitions rows)."""
@@ -172,23 +188,27 @@ class CrawlEngine:
             mtime, rows = -1.0, -1
         return f"{pages_path}|{mtime}|{rows}"
 
-    def _load_projects(self) -> None:
+    def _load_projects(self) -> bool:
         """(Re)read the projects dim — hot-reload analog of
         ``projectdb.check_update`` polled per loop by the reference
-        scheduler (S4): cheap stat check per round, re-read on change."""
+        scheduler (S4): cheap stat check per round, re-read on change.
+        Returns True when the dim actually changed (which also clears
+        exception-burst pauses, mirroring re-enable on project update)."""
         try:
             st = os.stat(self.projects_path)
             sig = (st.st_mtime_ns, st.st_size)
         except OSError:
             sig = None
         if sig is not None and sig == self._proj_stat:
-            return
+            return False
+        first = self._proj_stat is None
         self._proj_stat = sig
         self.projects = self.spark.read.parquet(self.projects_path)
         # tiny dim — driver-side copy for cron/schedulability decisions
         self._proj_rows = {
             r["project"]: r.asDict() for r in self.projects.collect()
         }
+        return not first
 
     # ---- snapshot-backed state reads -------------------------------------
     def _read(self, man: dict | None, name: str, schema) -> DataFrame:
@@ -281,13 +301,20 @@ class CrawlEngine:
         return self._read_frontier(dirs, list(dirs))
 
     # ---- cron (F9) --------------------------------------------------------
-    def _cron_rows(self, cron_state: dict[str, int], now: float) -> tuple[list, dict]:
+    def _cron_rows(
+        self, cron_state: dict[str, int], now: float, paused: set[str] = frozenset()
+    ) -> tuple[list, dict]:
         cfg = self.cfg
         rows, new_state = [], dict(cron_state)
         for name in sorted(self._proj_rows):
             p = self._proj_rows[name]
             tick = p.get("min_tick") or 0
-            if tick > 0 and p["status"] in SCHEDULABLE and now - cfg.t0 >= 0:
+            if (
+                tick > 0
+                and p["status"] in SCHEDULABLE
+                and name not in paused
+                and now - cfg.t0 >= 0
+            ):
                 k = int((now - cfg.t0) // tick)
                 if k > new_state.get(name, -1):
                     new_state[name] = k
@@ -309,13 +336,17 @@ class CrawlEngine:
 
         man = snap.read_manifest()
         state = (man or {}).get("state", {})
-        self._load_projects()  # S4 hot-reload (stat-guarded)
+        changed = self._load_projects()  # S4 hot-reload (stat-guarded)
+        # P6: exception-burst pauses; a project update re-enables
+        paused: set[str] = set() if changed else set(state.get("paused", []))
 
         fr_dirs = self._frontier_dirs(man)
         follows = self._read(man, "follows", S.RAW_UPDATE_SCHEMA)
         host_state = self._read(man, "host_state", S.HOST_STATE_SCHEMA)
 
-        cron_rows, cron_state = self._cron_rows(state.get("cron_count", {}), now)
+        cron_rows, cron_state = self._cron_rows(
+            state.get("cron_count", {}), now, paused
+        )
         raw = ensure_raw_columns(follows)
         if inject is not None:
             raw = raw.unionByName(ensure_raw_columns(inject))
@@ -390,7 +421,9 @@ class CrawlEngine:
         # --- candidates (P2/P3/P6): full scan with status/exetime
         # pushdown (pruned columnar read — no rewrite implied)
         schedulable = [
-            n for n, p in self._proj_rows.items() if p["status"] in SCHEDULABLE
+            n
+            for n, p in self._proj_rows.items()
+            if p["status"] in SCHEDULABLE and n not in paused
         ]
         cands = fr2.filter(
             (F.col("status") == ACTIVE)
@@ -398,8 +431,29 @@ class CrawlEngine:
             & F.col("project").isin(schedulable)
         )
 
-        # --- politeness (O1/O2/O3/J4)
-        sched, blocked = schedule_round(cands, self.robots, host_state, cfg, now)
+        # --- politeness (O1/O2/O3/J4) + per-project second cap (J5):
+        # project bucket state is tiny (one float pair per project) and
+        # lives in the manifest; refill math runs driver-side, the cap
+        # itself inside the politeness pass. rate/burst NULL or ≥ 2^31
+        # ⇒ project unthrottled (zero extra work).
+        from pyspider_spark.kernels.bucket import refill_scalar
+
+        proj_buckets = {
+            k: tuple(v) for k, v in state.get("project_buckets", {}).items()
+        }
+        proj_tok: dict[str, float] = {}
+        for name, p in self._proj_rows.items():
+            rate, burst = p.get("rate"), p.get("burst")
+            if rate is None or burst is None or rate >= 2**31 or burst >= 2**31:
+                continue
+            tokens, last = proj_buckets.get(name, (float(burst), now))
+            proj_tok[name] = refill_scalar(
+                float(tokens), float(last), now, float(rate), float(burst)
+            )
+        project_caps = {n: int(t) for n, t in proj_tok.items()}
+        sched, blocked = schedule_round(
+            cands, self.robots, host_state, cfg, now, project_caps=project_caps
+        )
         sched = sched.persist(StorageLevel.MEMORY_AND_DISK)
         blocked = blocked.persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -424,6 +478,14 @@ class CrawlEngine:
         tables = dict((man or {}).get("tables", {}))
         sched_rel = self._write(schedule_log, r, "schedule")
         n_sched = _parquet_rows(snap.abspath(sched_rel))
+        # project bucket consumption = post-budget scheduled counts (the
+        # reference consumes one token per *dispatched* task) — free
+        # from the schedule footers, mirrored by the simulator.
+        proj_counts = _parquet_value_counts(snap.abspath(sched_rel), "project")
+        proj_buckets_next = dict(proj_buckets)
+        for name, cnt in proj_counts.items():
+            if name in proj_tok and cnt > 0:
+                proj_buckets_next[name] = (proj_tok[name] - cnt, now)
         mark("schedule")
 
         # --- host_state carry-over (only hosts that actually scheduled)
@@ -443,8 +505,10 @@ class CrawlEngine:
         fetched = fetch_and_extract(
             sched, self.pages_canon, cfg, sched_rows=n_sched
         ).persist(StorageLevel.MEMORY_AND_DISK)
-        ok = fetched.filter(F.col("code") == 200)
-        fail = fetched.filter(F.col("code") != 200)
+        # proc_ok, not raw code: @catch_status_code_error callbacks
+        # settle SUCCESS from the handler outcome (U3)
+        ok = fetched.filter(F.col("proc_ok"))
+        fail = fetched.filter(~F.col("proc_ok"))
 
         res_fields = [
             F.length(F.coalesce("text", F.lit(""))).alias("text_len"),
@@ -464,9 +528,48 @@ class CrawlEngine:
             F.to_json(F.struct(*res_fields)).alias("result"),
             F.lit(now).alias("updatetime"),
         )
+        # --- follows (U2) with @config defaults of the TARGET callback
+        # (U1/U3): src callback → (follow_callback, its priority/age)
+        # via tiny literal maps; plus message rows (U4) through the
+        # same union, targeted at the receiving project.
+        from pyspider_spark import handlers as H
+
+        fmeta = {
+            name: (
+                h.follow_callback,
+                H.get(h.follow_callback).priority,
+                float(H.get(h.follow_callback).age),
+            )
+            for name, h in H.REGISTRY.items()
+        }
+        cbm = F.create_map(*[F.lit(x) for n in sorted(fmeta) for x in (n, fmeta[n][0])])
+        prm = F.create_map(*[F.lit(x) for n in sorted(fmeta) for x in (n, fmeta[n][1])])
+        agm = F.create_map(*[F.lit(x) for n in sorted(fmeta) for x in (n, fmeta[n][2])])
+        src = F.col("callback")
         new_follows = ok.select(
-            F.explode("links").alias("url"), F.col("project")
-        ).withColumn("canon_url", F.col("url"))
+            F.explode("links").alias("url"), F.col("project"), F.col("callback")
+        ).select(
+            "url",
+            "project",
+            F.col("url").alias("canon_url"),
+            F.coalesce(cbm[src], F.lit("index_page")).alias("callback"),
+            F.coalesce(prm[src], F.lit(0)).cast("int").alias("priority"),
+            F.coalesce(agm[src], F.lit(-1.0)).alias("age"),
+        )
+        msg_rows = ok.select(F.explode("messages").alias("m")).select(
+            F.concat(
+                F.lit("data:,_on_message|"), F.substring_index("m", "\x1f", -1)
+            ).alias("url"),
+            F.substring_index("m", "\x1f", 1).alias("project"),
+        ).select(
+            "url",
+            "project",
+            F.col("url").alias("canon_url"),
+            F.lit("_on_message").alias("callback"),
+            F.lit(0).alias("priority"),
+            F.lit(-1.0).alias("age"),
+        )
+        new_follows = new_follows.unionByName(msg_rows)
 
         # --- settlement (steps 9 + robots BAD): per-key status deltas.
         # Each row carries its pid so the frontier rewrite below knows
@@ -480,10 +583,28 @@ class CrawlEngine:
                 F.lit(float(delay)),
             ).otherwise(retry_case)
 
+        # track capture (F11): the status-pack trace the reference
+        # writes back into taskdb rows (track.fetch / track.process),
+        # error strings pre-truncated in the dispatch UDF
+        track = F.to_json(
+            F.struct(
+                F.struct(
+                    (F.col("code") == 200).alias("ok"),
+                    F.col("code").alias("status_code"),
+                ).alias("fetch"),
+                F.struct(
+                    F.col("proc_ok").alias("ok"),
+                    F.coalesce(F.size("links"), F.lit(0)).alias("follows"),
+                    F.col("proc_error").alias("exception"),
+                ).alias("process"),
+            )
+        ).alias("track")
+
         spid = pid_col(cfg.n_partitions).alias("pid")
         settle_ok = ok.select(
             *KEY,
             spid,
+            track,
             F.when(
                 F.col("auto_recrawl") & (F.col("age") >= 0), F.lit(ACTIVE)
             ).otherwise(F.lit(SUCCESS)).alias("new_status"),
@@ -497,6 +618,7 @@ class CrawlEngine:
         settle_fail = fail.select(
             *KEY,
             spid,
+            track,
             F.when(F.col("retries_left") > 0, F.lit(ACTIVE))
             .otherwise(F.lit(FAILED))
             .alias("new_status"),
@@ -505,11 +627,16 @@ class CrawlEngine:
             .otherwise(F.col("retries_left"))
             .alias("new_retries_left"),
             F.lit(None).cast("double").alias("new_lastcrawltime"),
-            F.lit("fail").alias("kind"),
+            # processor exceptions are a distinct kind: they feed the
+            # P6 exception-burst pause below
+            F.when(F.col("proc_error").isNotNull(), F.lit("err"))
+            .otherwise(F.lit("fail"))
+            .alias("kind"),
         )
         settle_bad = blocked.select(
             *KEY,
             spid,
+            F.lit(None).cast("string").alias("track"),
             F.lit(BAD).alias("new_status"),
             F.lit(None).cast("double").alias("new_exetime"),
             F.lit(None).cast("int").alias("new_retries_left"),
@@ -519,10 +646,22 @@ class CrawlEngine:
         settle = settle_ok.unionByName(settle_fail).unionByName(settle_bad)
 
         settle_rel = self._write(settle, r, "settle")
-        kind_counts = _parquet_value_counts(snap.abspath(settle_rel), "kind")
+        # per-(project, kind) counts in one Arrow pass: totals for the
+        # metrics row, the A2 per-project counter table, AND the P6
+        # exception-burst detector
+        pk_counts = _parquet_group_counts(snap.abspath(settle_rel), ["project", "kind"])
+        kind_counts: dict[str, int] = {}
+        for (_proj, kind), cnt in pk_counts.items():
+            kind_counts[kind] = kind_counts.get(kind, 0) + cnt
         settle_pids = set(
             int(p) for p in _parquet_value_counts(snap.abspath(settle_rel), "pid")
         )
+        for name, p in self._proj_rows.items():
+            if (
+                pk_counts.get((name, "err"), 0) >= cfg.exception_limit
+                and p["status"] in SCHEDULABLE
+            ):
+                paused.add(name)
         mark("fetch_settle")
 
         # --- frontier rewrite: ONLY partitions touched by updates or
@@ -589,7 +728,8 @@ class CrawlEngine:
             _parquet_rows(snap.abspath(rel)) for rel in frontier_dirs_new.values()
         )
         n_ok = kind_counts.get("ok", 0)
-        n_fail = kind_counts.get("fail", 0)
+        # processor exceptions count as failures (on_task_failed path)
+        n_fail = kind_counts.get("fail", 0) + kind_counts.get("err", 0)
         n_blocked = kind_counts.get("blocked", 0)
         prev_frontier = ((man or {}).get("lineage", {}).get("counts", {})).get(
             "frontier", 0
@@ -613,13 +753,35 @@ class CrawlEngine:
         tables["metrics"] = list(tables["metrics"]) + [
             self._write(metrics_df, r, "metrics", partitions=1)
         ]
+        # A2 — per-project counters (libs/counter.py analog): one row
+        # per (round, project, kind) at the round's logical time; the
+        # 5m/1h/1d windows are a rollup over this table
+        # (engine/results.py — project_window_counts).
+        if pk_counts:
+            mp_df = self.spark.createDataFrame(
+                [
+                    (r, proj, kind, int(cnt), now)
+                    for (proj, kind), cnt in sorted(pk_counts.items())
+                ],
+                S.METRICS_PROJECT_SCHEMA,
+            )
+            tables.setdefault("metrics_project", [])
+            tables["metrics_project"] = list(tables["metrics_project"]) + [
+                self._write(mp_df, r, "metrics_project", partitions=1)
+            ]
 
         snap.commit(
             {
                 "round": r,
                 "tables": tables,
                 "blobs": blob_meta,
-                "state": {"cron_count": cron_state},
+                "state": {
+                    "cron_count": cron_state,
+                    "paused": sorted(paused),
+                    "project_buckets": {
+                        k: list(v) for k, v in proj_buckets_next.items()
+                    },
+                },
                 "lineage": {
                     "round": r,
                     "now": now,

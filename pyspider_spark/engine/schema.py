@@ -111,6 +111,18 @@ RESULTS_SCHEMA = StructType(
     ]
 )
 
+# A2 — per-(round, project, kind) counters at logical time `now`
+# (libs/counter.py — CounterManager analog; windows are a rollup)
+METRICS_PROJECT_SCHEMA = StructType(
+    [
+        StructField("round", IntegerType()),
+        StructField("project", StringType()),
+        StructField("kind", StringType()),
+        StructField("cnt", LongType()),
+        StructField("now", DoubleType()),
+    ]
+)
+
 METRICS_SCHEMA = StructType(
     [
         StructField("round", IntegerType()),

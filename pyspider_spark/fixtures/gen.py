@@ -179,6 +179,27 @@ def gen_seeds(size: Size) -> pa.Table:
     add("http://host5.example/p/0" if size.hosts > 5 else "http://host0.example/p/3",
         project="msg_project")
     add("http://host0.example/p/9", project="stopped_project")
+    # handler-dispatch scenarios (U1-U4, S8, F6, @catch_status_code_error):
+    # notify handler send_messages to msg_project and follows→detail_page
+    add("http://host2.example/p/2", callback="index_and_notify")
+    # leaf handler: text only, no follow expansion
+    add("http://host4.example/p/2", callback="detail_page")
+    # catch_status_code_error: 404 url still settles SUCCESS with a result
+    add("http://host1.example/missing/77", callback="catch_errors")
+    # data: payload decode (S8/F12) + Response.json (F6)
+    from pyspider_spark.kernels.dataurl import encode as dataurl_encode
+
+    add(dataurl_encode(b'{"b": [1, 2], "a": 1}', "application/json"),
+        callback="json_fields")
+    # exception burst (P6): 3 strict_page exceptions in round 0 pause
+    # flaky_project; its 4th (future-due) seed must never be scheduled.
+    # (urls chosen noise-free so all three actually fetch 200 and the
+    # exceptions come from the handler, not the 404 path)
+    for u in ("http://host0.example/p/3", "http://host1.example/p/4",
+              "http://host2.example/p/3"):
+        add(u, project="flaky_project", callback="strict_page")
+    add("http://host4.example/p/4", project="flaky_project",
+        exetime=T0_EPOCH + 2.0)
     cols = list(zip(*rows))
     return pa.table(
         {
@@ -196,10 +217,16 @@ def gen_seeds(size: Size) -> pa.Table:
 
 
 def gen_projects() -> pa.Table:
+    # heterogeneous rate/burst: the per-project cap (J5) binds for
+    # test_project from round 1 on (candidates outgrow the refill) and
+    # stays loose for msg_project — both paths exercised in the
+    # engine⇄simulator equivalence suite.
     rows = [
-        ("test_project", "RUNNING", 1.0, 10.0, 30.0, "default_extractor"),
-        ("msg_project", "RUNNING", 1.0, 10.0, 0.0, "default_extractor"),
+        ("test_project", "RUNNING", 8.0, 18.0, 30.0, "default_extractor"),
+        ("msg_project", "RUNNING", 2.0, 3.0, 0.0, "default_extractor"),
         ("stopped_project", "STOP", 1.0, 10.0, 0.0, "default_extractor"),
+        # unthrottled (NULL rate/burst) — P6 pause scenario
+        ("flaky_project", "RUNNING", None, None, 0.0, "default_extractor"),
     ]
     cols = list(zip(*rows))
     return pa.table(

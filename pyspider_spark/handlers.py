@@ -1,0 +1,169 @@
+"""Handler registry — pyspider's user-programmability surface recast
+as named vectorizable callbacks (SURVEY §2.9 U1-U4).
+
+The reference compiles project scripts from projectdb at runtime
+(``pyspider/processor/project_module.py — ProjectManager.get()``) and
+dispatches ``process.callback`` on them (``libs/base_handler.py —
+BaseHandler.run_task()/_run_task()``). Our build ships a registry of
+named plain-Python handlers with the package (``spark-submit
+--py-files`` — no code-from-DB compilation, a deliberate
+simplification; ``projects.script_ref`` names the module). Each row's
+``callback`` column selects its handler inside the SAME Arrow extract
+batch — dispatch is per-row function lookup, not per-row Python UDF
+overhead (the handlers themselves are the plain functions the oracle
+simulator calls, so engine⇄oracle byte-identity holds by construction).
+
+Decorator semantics mirrored (``libs/base_handler.py — every()/
+config()/catch_status_code_error()``):
+- ``@config(priority=, age=)`` → per-handler defaults applied to tasks
+  *crawled toward* that callback (follow rows inherit the target
+  handler's priority/age).
+- ``@catch_status_code_error`` → the handler also runs on non-200
+  fetches, and a successful run settles the task SUCCESS (the
+  reference's processor marks ok from the callback outcome, not the
+  fetch code).
+- ``@every`` → projects.min_tick cron (engine F9), arriving here as
+  ``_on_cronjob`` data: rows.
+- ``send_message(project, msg)`` (U4) → handlers return messages;
+  the engine/simulator route them as ``data:,_on_message|<payload>``
+  update rows targeted at the receiving project, through the same
+  follows union (``Scheduler.on_request`` message branch analog).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+from pyspider_spark.kernels.dataurl import decode as dataurl_decode
+from pyspider_spark.oracle.extractor import extract_page
+
+
+@dataclass(frozen=True)
+class HandlerResult:
+    text: str = ""
+    links: list = field(default_factory=list)
+    messages: list = field(default_factory=list)  # [(target_project, payload)]
+
+
+@dataclass(frozen=True)
+class Handler:
+    """One named callback. `fn(content, url) -> HandlerResult` where
+    content is the fetched bytes (html, or decoded data: payload) or
+    None on fetch failure."""
+
+    name: str
+    fn: object
+    follow_callback: str = "index_page"  # callback follows are crawled toward
+    priority: int = 0  # @config defaults for tasks targeting this handler
+    age: float = -1.0
+    catch_status_code_error: bool = False
+
+
+def _content_of(content: bytes | None, url: str) -> bytes | None:
+    """data: rows carry their payload in the url (S8/F12)."""
+    if url.startswith("data:"):
+        return dataurl_decode(url)[0]
+    return content
+
+
+# --- built-in handlers -------------------------------------------------
+
+def h_index_page(content: bytes | None, url: str) -> HandlerResult:
+    """The default crawl handler (``libs/sample_handler.py``): extract
+    text + follow every link."""
+    ext = extract_page(_content_of(content, url), url)
+    return HandlerResult(text=ext.text, links=ext.links)
+
+
+def h_detail_page(content: bytes | None, url: str) -> HandlerResult:
+    """Leaf handler: text only, no follow expansion (the sample
+    handler's detail_page returning a result dict)."""
+    ext = extract_page(_content_of(content, url), url)
+    return HandlerResult(text=ext.text)
+
+
+def h_index_and_notify(content: bytes | None, url: str) -> HandlerResult:
+    """index_page variant that also ``send_message``s the page url to
+    msg_project (mirrors tests/test_processor.py — _on_message
+    routing); follows go to detail_page (exercises @config defaults)."""
+    ext = extract_page(_content_of(content, url), url)
+    return HandlerResult(
+        text=ext.text, links=ext.links, messages=[("msg_project", url)]
+    )
+
+
+def h_data_text(content: bytes | None, url: str) -> HandlerResult:
+    """_on_cronjob/_on_message: the decoded payload IS the text — no
+    html parsing (``BaseHandler._on_cronjob/_on_message`` receive the
+    message, they don't parse a page)."""
+    c = _content_of(content, url)
+    return HandlerResult(text=(c or b"").decode("utf-8", errors="replace"))
+
+
+def h_json_fields(content: bytes | None, url: str) -> HandlerResult:
+    """F6 Response.json: parse the payload as JSON; text = canonical
+    compact dump (sorted keys) so byte-identity is well-defined."""
+    c = _content_of(content, url)
+    try:
+        obj = json.loads((c or b"").decode("utf-8", errors="replace") or "null")
+    except ValueError:
+        obj = None
+    return HandlerResult(text=json.dumps(obj, sort_keys=True, separators=(",", ":")))
+
+
+def h_catch_errors(content: bytes | None, url: str) -> HandlerResult:
+    """@catch_status_code_error demo: non-200 rows still produce a
+    result row (text records the miss) and settle SUCCESS."""
+    c = _content_of(content, url)
+    if c is None:
+        return HandlerResult(text=f"fetch-error {url}")
+    ext = extract_page(c, url)
+    return HandlerResult(text=ext.text, links=ext.links)
+
+
+def h_strict_page(content: bytes | None, url: str) -> HandlerResult:
+    """A deliberately-broken handler: always raises. Exercises the
+    processor-exception path — track.process.exception capture (F11)
+    and the scheduler's exception-burst project pause (P6,
+    ``scheduler/scheduler.py — Project.paused / EXCEPTION_LIMIT``)."""
+    raise ValueError(f"strict_page refuses {url}")
+
+
+REGISTRY: dict[str, Handler] = {
+    h.name: h
+    for h in (
+        Handler("index_page", h_index_page),
+        Handler(
+            "detail_page", h_detail_page, follow_callback="detail_page",
+            priority=2, age=3600.0,
+        ),
+        Handler(
+            "index_and_notify", h_index_and_notify, follow_callback="detail_page"
+        ),
+        Handler("_on_cronjob", h_data_text, follow_callback="index_page"),
+        Handler("_on_message", h_data_text, follow_callback="index_page"),
+        Handler("json_fields", h_json_fields, follow_callback="json_fields"),
+        Handler(
+            "catch_errors", h_catch_errors, follow_callback="index_page",
+            catch_status_code_error=True,
+        ),
+        Handler("strict_page", h_strict_page),
+    )
+}
+
+DEFAULT = REGISTRY["index_page"]
+
+
+def get(name: str | None) -> Handler:
+    return REGISTRY.get(name or "", DEFAULT)
+
+
+def catch_error_callbacks() -> list[str]:
+    return sorted(h.name for h in REGISTRY.values() if h.catch_status_code_error)
+
+
+def message_url(payload: str) -> str:
+    """The data: url a message row travels as (taskid = md5 of it, so
+    identical payloads to the same project dedup — content-addressed)."""
+    return f"data:,_on_message|{payload}"

@@ -25,6 +25,9 @@ Normative round semantics (THE spec — the engine mirrors it exactly):
   4. per-host politeness (O1/O2): refill tokens on the logical clock,
      admit top-⌊tokens⌋ ordered by (-priority, exetime, taskid);
      host '' (data:/cron rows) bypasses the bucket
+  4.5 per-project cap (J5/O2): projects with finite rate/burst admit
+     at most ⌊project tokens⌋ across all hosts, in the same O1 order;
+     consumption counts post-budget dispatched rows
   5. global round budget (O3): same total order, first `round_budget`
   6. host_state update — only hosts with ≥1 scheduled row:
      tokens = refilled − scheduled_count, last_ts = now (hosts with no
@@ -90,6 +93,8 @@ class SimState:
     frontier: dict[tuple[str, str], Task] = field(default_factory=dict)
     cancelled: set[str] = field(default_factory=set)  # seen_keys (cuckoo shadow)
     host_tokens: dict[str, tuple[float, float]] = field(default_factory=dict)
+    project_tokens: dict[str, tuple[float, float]] = field(default_factory=dict)
+    paused: set[str] = field(default_factory=set)  # P6 exception-burst
     pending_follows: list[dict] = field(default_factory=list)
     schedule_log: list[dict] = field(default_factory=list)
     results: list[dict] = field(default_factory=list)
@@ -152,7 +157,11 @@ class Simulator:
 
     def _schedulable(self, project: str) -> bool:
         p = self.projects.get(project)
-        return bool(p) and p["status"] in ("RUNNING", "DEBUG")
+        return (
+            bool(p)
+            and p["status"] in ("RUNNING", "DEBUG")
+            and project not in self.state.paused
+        )
 
     def _norm(self, row: dict) -> dict | None:
         """Normalize an update row: canonicalize, fill defaults."""
@@ -275,9 +284,38 @@ class Simulator:
             refilled[host] = tok
             admitted.extend(ts[: int(tok)])
 
-        # 5. global budget
+        # 4.5 per-project second cap (J5): projects with finite
+        # rate/burst admit at most ⌊tokens⌋ tasks this round, selected
+        # in O1 order across hosts; NULL or ≥2^31 rate/burst ⇒ no cap.
         admitted.sort(key=ORDER_KEY)
-        sched = admitted[: cfg.round_budget]
+        proj_tok: dict[str, float] = {}
+        for name, p in sorted(self.projects.items()):
+            rate, burst = p.get("rate"), p.get("burst")
+            if rate is None or burst is None or rate >= 2**31 or burst >= 2**31:
+                continue
+            tokens, last = st.project_tokens.get(name, (float(burst), now))
+            proj_tok[name] = refill_scalar(
+                float(tokens), float(last), now, float(rate), float(burst)
+            )
+        taken: dict[str, int] = {}
+        capped: list[Task] = []
+        for t in admitted:
+            if t.project in proj_tok:
+                if taken.get(t.project, 0) >= int(proj_tok[t.project]):
+                    continue
+                taken[t.project] = taken.get(t.project, 0) + 1
+            capped.append(t)
+
+        # 5. global budget
+        sched = capped[: cfg.round_budget]
+
+        # project bucket consumption = post-budget dispatched counts
+        per_proj_count: dict[str, int] = {}
+        for t in sched:
+            per_proj_count[t.project] = per_proj_count.get(t.project, 0) + 1
+        for name, cnt in per_proj_count.items():
+            if name in proj_tok and cnt > 0:
+                st.project_tokens[name] = (proj_tok[name] - cnt, now)
 
         # 6. host_state update (scheduled hosts only)
         per_host_count: dict[str, int] = {}
@@ -297,11 +335,14 @@ class Simulator:
                      taskid=t.taskid, canon_url=t.canon_url, priority=t.priority)
             )
 
-        # 7-9. fetch / extract / settle
+        # 7-9. fetch / extract (handler dispatch, U1/U2) / settle
+        from pyspider_spark import handlers as H
+
         n_ok = n_fail = 0
+        exceptions: dict[str, int] = {}
         for t in sched:
             if t.canon_url.startswith("data:"):
-                code, html = 200, b""
+                code, html = 200, None  # payload decoded inside the handler (S8)
             elif t.host == "slow.example":
                 code, html = 599, None
             elif t.canon_url in self.pages:
@@ -309,24 +350,40 @@ class Simulator:
             else:
                 code, html = 404, None
 
-            if code == 200:
+            h = H.get(t.callback)
+            res = exc = None
+            if code == 200 or h.catch_status_code_error:
+                try:
+                    res = h.fn(html, t.canon_url)
+                except Exception as e:  # processor exception (F11/P6)
+                    exc = e
+                    exceptions[t.project] = exceptions.get(t.project, 0) + 1
+            if res is not None:
                 n_ok += 1
-                ext = extract_page(html, t.canon_url)
                 t.status = SUCCESS
                 t.lastcrawltime = now
                 t.updatetime = now
                 st.results.append(
                     dict(project=t.project, taskid=t.taskid, url=t.canon_url,
-                         result=json.dumps({"text_len": len(ext.text),
-                                            "n_links": len(ext.links)}),
+                         result=json.dumps({"text_len": len(res.text),
+                                            "n_links": len(res.links)}),
                          updatetime=now)
                 )
                 if t.auto_recrawl and t.age >= 0:
                     t.status = ACTIVE
                     t.exetime = now + t.age
-                for link in ext.links:
+                tgt = H.get(h.follow_callback)
+                for link in res.links:
                     st.pending_follows.append(
-                        dict(url=link, canon_url=link, project=t.project)
+                        dict(url=link, canon_url=link, project=t.project,
+                             callback=h.follow_callback, priority=tgt.priority,
+                             age=tgt.age)
+                    )
+                for mproj, payload in res.messages:
+                    murl = H.message_url(payload)
+                    st.pending_follows.append(
+                        dict(url=murl, canon_url=murl, project=mproj,
+                             callback="_on_message")
                     )
             else:
                 n_fail += 1
@@ -338,6 +395,12 @@ class Simulator:
                     t.exetime = now + delay
                 else:
                     t.status = FAILED
+
+        # P6 — exception burst pauses the project from the next round
+        for name, cnt in exceptions.items():
+            p = self.projects.get(name)
+            if cnt >= self.cfg.exception_limit and p and p["status"] in ("RUNNING", "DEBUG"):
+                st.paused.add(name)
 
         st.metrics.append(
             dict(round=rnd, scheduled=len(sched), ok=n_ok, failed=n_fail,

@@ -136,6 +136,56 @@ def test_text_byte_identity(spark, engine_run, smoke_fixtures):
         assert d["text"] == row["text"]
 
 
+def test_message_routing_and_dispatch(spark, engine_run, sim_state):
+    """U1-U4 scenario checks on the engine's final state: send_message
+    landed an _on_message task in msg_project; catch_errors settled its
+    404 SUCCESS; strict_page exceptions paused flaky_project before its
+    future-due seed could schedule; json_fields decoded its data: url."""
+    eng, _ = engine_run
+    fr = eng.frontier().collect()
+    by_cb = {}
+    for row in fr:
+        by_cb.setdefault((row["project"], row["callback"]), []).append(row)
+
+    # _on_message row exists in msg_project and succeeded (status 2)
+    msgs = by_cb.get(("msg_project", "_on_message"), [])
+    assert msgs and all(m["status"] == 2 for m in msgs)
+    assert all(m["canon_url"].startswith("data:,_on_message|") for m in msgs)
+
+    # catch_errors: a 404 url settled SUCCESS with a result row
+    catches = by_cb.get(("test_project", "catch_errors"), [])
+    assert catches and all(c["status"] == 2 for c in catches)
+
+    # flaky_project paused: the future-due seed stays ACTIVE, never run
+    man = eng.snap.read_manifest()
+    assert "flaky_project" in man["state"]["paused"]
+    flaky = [r for r in fr if r["project"] == "flaky_project"]
+    future = [r for r in flaky if r["callback"] == "index_page"]
+    assert future and all(r["status"] == 1 and r["lastcrawltime"] == 0.0 for r in future)
+
+    # json_fields data: row produced the canonical dump
+    jrows = by_cb.get(("test_project", "json_fields"), [])
+    assert jrows and all(j["status"] == 2 for j in jrows)
+
+    # and the simulator agrees it paused too
+    assert "flaky_project" in sim_state.paused
+
+
+def test_track_capture(spark, engine_run):
+    """F11 — settle rows carry the truncated fetch/process track."""
+    eng, _ = engine_run
+    man = eng.snap.read_manifest()
+    paths = [eng.snap.abspath(p) for p in man["tables"]["settle"]]
+    rows = spark.read.parquet(*paths).collect()
+    tracks = [json.loads(r["track"]) for r in rows if r["track"]]
+    assert tracks
+    assert all({"fetch", "process"} <= set(t) for t in tracks)
+    errs = [t for t in tracks if t["process"].get("exception")]
+    assert errs  # strict_page exceptions captured
+    assert all(len(t["process"]["exception"]) <= 200 for t in errs)
+    assert all(t["process"]["exception"].startswith("ValueError") for t in errs)
+
+
 def test_progressive_discovery(engine_run):
     """Follows expand the frontier across rounds (the loop actually
     iterates) and at least one fetch succeeds every early round."""
