@@ -162,7 +162,11 @@ def run_crawl(spark, fixtures_dir: str, rounds: int = CRAWL_ROUNDS, mult: int = 
         "steady_wall_s": round(s_wall, 3),
         "steady_urls_per_sec": round(s_urls / s_wall, 1) if s_wall > 0 else 0.0,
         "rounds": [
-            {k: m[k] for k in ("round", "scheduled", "ok", "failed", "new_urls", "frontier")}
+            {
+                **{k: m[k] for k in ("round", "scheduled", "ok", "failed", "new_urls", "frontier")},
+                "phase_s": m.get("phase_s", {}),
+                "wall_s": round(m.get("wall_s", 0.0), 1),
+            }
             for m in metrics
         ],
     }

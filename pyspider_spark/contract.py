@@ -914,7 +914,9 @@ def q_merge_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_in_a = upd_a.select("project", "taskid", "seen_k", "pid").withColumn(
         "cancel", F.lit(False)
     )
-    probe_a = probe_and_update(probe_in_a, {}, cfg)
+    from pyspark.storagelevel import StorageLevel
+
+    probe_a = probe_and_update(probe_in_a, {}, cfg).persist(StorageLevel.MEMORY_AND_DISK)
     # blobs back to the driver exactly like the round does (state rows)
     prev = {
         int(r["pid"]): (bytes(r["bloom_blob"]), bytes(r["cuckoo_blob"]), int(r["n_keys"]))

@@ -221,6 +221,24 @@ class CrawlEngine:
         (df.coalesce(partitions) if partitions else df).write.mode("overwrite").parquet(path)
         return self.snap.rel(path)
 
+    _ARROW_TYPES = {"integer": "int32", "long": "int64", "double": "float64", "string": "string"}
+
+    def _write_driver(self, rows: list[dict], schema, r: int, name: str) -> str:
+        """Tiny-table parquet write via pyarrow (no Spark job); column
+        types mirror the Spark StructType so multi-round reads union."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        fields = [
+            pa.field(f.name, pa.type_for_alias(self._ARROW_TYPES[f.dataType.typeName()]))
+            for f in schema.fields
+        ]
+        t = pa.Table.from_pylist(rows, schema=pa.schema(fields))
+        path = self.snap.table_dir(r, name)
+        os.makedirs(path, exist_ok=True)
+        pq.write_table(t, os.path.join(path, "part-00000.parquet"))
+        return self.snap.rel(path)
+
     # ---- partitioned frontier -------------------------------------------
     def _frontier_dirs(self, man: dict | None) -> dict[int, str]:
         t = (man or {}).get("tables", {}).get("frontier") or {}
@@ -645,6 +663,15 @@ class CrawlEngine:
         )
         settle = settle_ok.unionByName(settle_fail).unionByName(settle_bad)
 
+        # The settle write runs ALONE first: it is the job that
+        # materializes the fetch+extract pipeline into the `fetched`
+        # cache exactly once. Launching sibling sinks concurrently
+        # here would each race to compute the cold cache — measured
+        # 3.5x slower at bench scale (3 jobs × full page scan +
+        # extraction) — so the pool below starts only after this
+        # barrier, serving warm cache.
+        from concurrent.futures import ThreadPoolExecutor
+
         settle_rel = self._write(settle, r, "settle")
         # per-(project, kind) counts in one Arrow pass: totals for the
         # metrics row, the A2 per-project counter table, AND the P6
@@ -663,6 +690,13 @@ class CrawlEngine:
             ):
                 paused.add(name)
         mark("fetch_settle")
+
+        # remaining sinks: cache-served concurrent jobs (fetched and
+        # fr2_t are warm now)
+        pool = ThreadPoolExecutor(max_workers=3)
+        f_follows = pool.submit(self._write, new_follows, r, "follows")
+        f_results = pool.submit(self._write, results, r, "results")
+        f_host = pool.submit(self._write, host_state_next, r, "host_state", 1)
 
         # --- frontier rewrite: ONLY partitions touched by updates or
         # settles. Untouched dirs carry forward by path (MERGE INTO).
@@ -706,22 +740,17 @@ class CrawlEngine:
         tables["frontier"] = {str(p): rel for p, rel in sorted(frontier_dirs_new.items())}
         mark("frontier_write")
 
-        # --- remaining sinks as concurrent cache-served jobs
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=4) as pool:
-            f_follows = pool.submit(self._write, new_follows, r, "follows")
-            f_host = pool.submit(self._write, host_state_next, r, "host_state", 1)
-            f_results = pool.submit(self._write, results, r, "results")
-            tables["follows"] = f_follows.result()
-            tables["host_state"] = f_host.result()
-            tables["probe"] = probe_rel
-            tables.setdefault("results", [])
-            tables["results"] = list(tables["results"]) + [f_results.result()]
-            tables.setdefault("schedule", [])
-            tables["schedule"] = list(tables["schedule"]) + [sched_rel]
-            tables.setdefault("settle", [])
-            tables["settle"] = list(tables["settle"]) + [settle_rel]
+        # --- drain the concurrent sink pool
+        tables["follows"] = f_follows.result()
+        tables["host_state"] = f_host.result()
+        tables["probe"] = probe_rel
+        tables.setdefault("results", [])
+        tables["results"] = list(tables["results"]) + [f_results.result()]
+        tables.setdefault("schedule", [])
+        tables["schedule"] = list(tables["schedule"]) + [sched_rel]
+        tables.setdefault("settle", [])
+        tables["settle"] = list(tables["settle"]) + [settle_rel]
+        pool.shutdown()
 
         # --- counts from written artifacts (driver-side, no Spark jobs)
         n_frontier = sum(
@@ -744,30 +773,48 @@ class CrawlEngine:
             n_prev = prev_frontier
         n_new = n_frontier - n_prev
 
+        # metrics tables are a handful of rows — written driver-side
+        # with pyarrow (schema matches the Spark StructTypes so
+        # spark.read.parquet over round files unions cleanly); zero
+        # Spark jobs spent on metrics.
         wall = time.time() - t_start
-        metrics_df = self.spark.createDataFrame(
-            [(r, n_sched, n_ok, n_fail, n_blocked, n_new, n_frontier, wall)],
-            S.METRICS_SCHEMA,
-        )
         tables.setdefault("metrics", [])
         tables["metrics"] = list(tables["metrics"]) + [
-            self._write(metrics_df, r, "metrics", partitions=1)
+            self._write_driver(
+                [
+                    {
+                        "round": r,
+                        "scheduled": n_sched,
+                        "ok": n_ok,
+                        "failed": n_fail,
+                        "robots_blocked": n_blocked,
+                        "new_urls": n_new,
+                        "frontier": n_frontier,
+                        "wall_s": wall,
+                    }
+                ],
+                S.METRICS_SCHEMA,
+                r,
+                "metrics",
+            )
         ]
         # A2 — per-project counters (libs/counter.py analog): one row
         # per (round, project, kind) at the round's logical time; the
         # 5m/1h/1d windows are a rollup over this table
         # (engine/results.py — project_window_counts).
         if pk_counts:
-            mp_df = self.spark.createDataFrame(
-                [
-                    (r, proj, kind, int(cnt), now)
-                    for (proj, kind), cnt in sorted(pk_counts.items())
-                ],
-                S.METRICS_PROJECT_SCHEMA,
-            )
             tables.setdefault("metrics_project", [])
             tables["metrics_project"] = list(tables["metrics_project"]) + [
-                self._write(mp_df, r, "metrics_project", partitions=1)
+                self._write_driver(
+                    [
+                        {"round": r, "project": proj, "kind": kind,
+                         "cnt": int(cnt), "now": now}
+                        for (proj, kind), cnt in sorted(pk_counts.items())
+                    ],
+                    S.METRICS_PROJECT_SCHEMA,
+                    r,
+                    "metrics_project",
+                )
             ]
 
         snap.commit(
