@@ -1125,8 +1125,101 @@ def q_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_near_dup(spark, spark.table("embeddings"), threshold=0.2)
 
 
+def _docs_aug_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame-API twin of DOCS_AUG_CTE (documents + injected
+    near-dups and exact copies) — input for the engine dedup ops."""
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    near = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat("text", F.lit(" zz extra pad token")).alias("text"),
+    )
+    exact = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(near).unionByName(exact)
+
+
+def _duck_minhash_spine() -> str:
+    """DuckDB CTE chain docs_aug → grams → sigs → bands → cand →
+    verified pairs ``vp`` — the oracle for ops/dedup.verified_pairs."""
+    sigs = ",\n   ".join(
+        f"min(md5(concat('{s}|', gram))) AS s{s}" for s in _MINHASH_SEEDS
+    )
+    return f"""
+{DOCS_AUG_CTE}, {_tok_cte('duck', 'docs_aug')}, {_grams_cte('duck')},
+sigs AS (SELECT doc_id, {sigs} FROM grams GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, 0 AS band_id, md5(concat(s0, s1, s2, s3)) AS band_key FROM sigs
+  UNION ALL
+  SELECT doc_id, 1 AS band_id, md5(concat(s4, s5, s6, s7)) AS band_key FROM sigs
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+gc AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c
+  JOIN grams ga ON ga.doc_id = c.doc_a
+  JOIN grams gb ON gb.doc_id = c.doc_b AND gb.gram = ga.gram
+  GROUP BY c.doc_a, c.doc_b
+),
+vp AS (
+  SELECT doc_a, doc_b,
+         round(CAST(inter AS DOUBLE) / (ga.n + gb.n - inter), 6) AS jaccard
+  FROM inter
+  JOIN gc ga ON doc_a = ga.doc_id JOIN gc gb ON doc_b = gb.doc_id
+  WHERE round(CAST(inter AS DOUBLE) / (ga.n + gb.n - inter), 6) >= 0.5
+)"""
+
+
+ORACLE_DEDUP_PAIRS = f"WITH {_duck_minhash_spine()}\nSELECT doc_a, doc_b, jaccard FROM vp"
+
+# Connected components via recursive CTE: walk(u, l) holds l for every
+# doc l can reach over the undirected verified-pair edges; min reachable
+# origin per doc = component min = the engine's dup_of.
+ORACLE_DEDUP_CORPUS = f"""
+WITH RECURSIVE {_duck_minhash_spine()},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM vp
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM vp
+),
+walk(doc_id, lbl) AS (
+  SELECT doc_id, doc_id FROM docs_aug
+  UNION
+  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.doc_id
+)
+SELECT doc_id, min(lbl) AS dup_of FROM walk GROUP BY doc_id
+"""
+
+
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash corpus dedup ENGINE op (ops/dedup.verified_pairs):
+    shingle → signature agg → band self-join → exact-Jaccard verify,
+    all DataFrame ops — checked against a handwritten DuckDB oracle
+    (round-1 review: dedup must be pipeline-level, not contract SQL)."""
+    from pyspider_spark.ops.dedup import verified_pairs
+
+    return verified_pairs(_docs_aug_df(spark, sf_dir), threshold=0.5)
+
+
+def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_corpus keep-assignment: min-label propagation over the
+    verified near-dup edges (engine loop) vs a recursive-CTE
+    connected-components oracle."""
+    from pyspider_spark.ops.dedup import dedup_corpus
+
+    return dedup_corpus(_docs_aug_df(spark, sf_dir), threshold=0.5)
+
+
 CUSTOM: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "crawl_url_canon": (q_url_canon, ORACLE_URL_CANON),
+    "dedup_minhash_pairs": (q_dedup_minhash_pairs, ORACLE_DEDUP_PAIRS),
+    "dedup_corpus_keep": (q_dedup_corpus, ORACLE_DEDUP_CORPUS),
     "sim_near_dup_pairs": (q_near_dup_pairs, _sql_near_dup_vec("duck")),
     "sim_lsh_near_dup": (q_lsh_near_dup, _sql_lsh_near_dup("duck")),
     "crawl_schedule_stateful": (

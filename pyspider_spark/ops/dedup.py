@@ -1,0 +1,220 @@
+"""Corpus-level MinHash dedup — the ENGINE composition (not contract
+SQL) that round-1 review asked for: shingle → MinHash signatures →
+LSH bands → within-band candidate pairs → exact-Jaccard verify →
+connected-component keep assignment.
+
+Everything up to the verify is built-in DataFrame ops (JVM-side,
+whole-stage codegen, hash aggregates); there is no all-pairs join
+anywhere:
+
+- ``shingles``      one explode + one hash-distinct, O(tokens)
+- ``signatures``    ONE hash agg over grams (k mins computed together)
+- ``band keys``     projection + small explode (b rows/doc)
+- ``candidates``    self-equi-join on band_key — pair space is only
+                    within-band, i.e. near-duplicate-cluster-sized
+- ``verify``        candidates ⋈ grams on (doc, gram): shuffles the
+                    grams of CANDIDATE docs only (semi-join pruned)
+- ``clusters``      min-label propagation over verified edges to a
+                    fixpoint — O(cluster diameter) tiny joins; dedup
+                    clusters are near-cliques so 2–3 rounds typical
+
+At 100 TB the only scale-sensitive spot is a hot band_key (a gram-set
+shared by millions of docs, e.g. boilerplate): the group is a true
+duplicate cluster, and the candidate join emits |cluster|²/2 pairs.
+The ``max_band_width`` guard drops bands wider than the bound (they
+are resolved by the exact-md5 dedup pass first — exact copies don't
+need MinHash), which is the standard production mitigation.
+
+Reference parity: pyspider has no corpus dedup (its dedup is the
+URL-seen set, ``scheduler/scheduler.py — _check_request``); this op is
+part of the training-data-pipeline surface mandated by the brief.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+N_HASHES = 8
+N_BANDS = 2  # rows per band r = N_HASHES / N_BANDS = 4
+
+
+def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct n-word shingles per doc: (doc_id, gram).
+
+    Tokenization matches the contract's ``_tok_cte`` exactly (lower,
+    split on non-alnum, drop empties) so the same text yields the same
+    gram set in Spark and the DuckDB oracle.
+    """
+    toks = F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: t != "")
+    grams = F.when(
+        F.size("toks") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at("toks", i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select("doc_id", toks.alias("toks"))
+        .select("doc_id", F.explode(grams).alias("gram"))
+        .distinct()
+    )
+
+
+def minhash_signatures(grams: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """k MinHash signatures per doc in ONE hash aggregate:
+    s_i = min(md5(i || '|' || gram)) — md5 is identical in Spark and
+    DuckDB so the signature definition is oracle-checkable."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("gram")))).alias(f"s{s}")
+        for s in range(n_hashes)
+    ]
+    return grams.groupBy("doc_id").agg(*aggs)
+
+
+def band_keys(sigs: DataFrame, n_bands: int = N_BANDS, n_hashes: int = N_HASHES) -> DataFrame:
+    """(doc_id, band_id, band_key): band_key = md5 of the band's
+    signature rows concatenated. b bands of r = k/b rows — the standard
+    LSH S-curve knobs (docs agreeing on ALL r rows of ANY band are
+    candidates)."""
+    r = n_hashes // n_bands
+    bands = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.md5(F.concat(*[F.col(f"s{b * r + i}") for i in range(r)])).alias(
+                "band_key"
+            ),
+        )
+        for b in range(n_bands)
+    ]
+    return sigs.select(
+        "doc_id", F.explode(F.array(*bands)).alias("bb")
+    ).select("doc_id", "bb.band_id", "bb.band_key")
+
+
+def candidate_pairs(bands: DataFrame, max_band_width: int | None = None) -> DataFrame:
+    """Within-band unordered pairs (doc_a < doc_b), distinct across
+    bands. Hot-band guard: bands wider than ``max_band_width`` docs are
+    dropped (boilerplate clusters — handled by exact dedup upstream)."""
+    if max_band_width is not None:
+        w = bands.groupBy("band_id", "band_key").count()
+        bands = bands.join(
+            w.filter(F.col("count") <= max_band_width).select("band_id", "band_key"),
+            ["band_id", "band_key"],
+        )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def verified_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    max_band_width: int | None = None,
+) -> DataFrame:
+    """MinHash-candidate pairs verified by EXACT Jaccard over gram
+    sets: (doc_a, doc_b, jaccard) with jaccard >= threshold.
+
+    The verify join only moves grams of candidate docs (left-semi
+    pruned) — never an all-pairs gram join (the round-1 ngram oracle's
+    anti-pattern)."""
+    g = shingles(docs)
+    # cand is tiny (near-dup pairs) and consumed three times below —
+    # persist it; grams are larger than the input corpus, so they are
+    # recomputed (scan + explode) rather than cached at 100 TB scale
+    cand = candidate_pairs(
+        band_keys(minhash_signatures(g)), max_band_width
+    ).persist()
+    # prune grams to docs that appear in any candidate pair
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    g = g.join(cand_docs, "doc_id", "left_semi")
+    sizes = g.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ga = g.select(F.col("doc_id").alias("doc_a"), "gram")
+    gb = g.select(F.col("doc_id").alias("doc_b"), "gram")
+    inter = (
+        cand.join(ga, "doc_a")
+        .join(gb, ["doc_b", "gram"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def dedup_corpus(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    max_iter: int = 20,
+    max_band_width: int | None = None,
+) -> DataFrame:
+    """Keep-assignment for the whole corpus: (doc_id, dup_of) where
+    dup_of = min doc_id of the doc's near-duplicate connected component
+    (dup_of == doc_id ⇔ the doc is the kept canonical copy).
+
+    Connected components by min-label propagation over the verified
+    edge set: labels start at doc_id; each iteration every node takes
+    the min of its own label and its neighbors' labels; stop at
+    fixpoint. Dedup components are near-cliques (every member collides
+    into the same band), so convergence is 2–3 iterations; ``max_iter``
+    bounds pathological chains. Each iteration is one co-partitioned
+    join + one hash agg — the same loop shape as large-star/small-star
+    connected components, which this upgrades to if diameters grow.
+    """
+    edges = verified_pairs(docs, threshold, max_band_width).select("doc_a", "doc_b")
+    # undirected: propagate labels both ways
+    e = edges.unionByName(
+        edges.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).persist()
+    labels = docs.select("doc_id", F.col("doc_id").alias("lbl")).persist()
+    labels.count()
+    for _ in range(max_iter):
+        nbr = (
+            e.join(labels, e.doc_a == labels.doc_id)
+            .select(F.col("doc_b").alias("doc_id"), "lbl")
+        )
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("doc_id")
+            .agg(F.min("lbl").alias("lbl"))
+            .persist()
+        )
+        # localCheckpoint cuts the lineage so the plan doesn't grow
+        # exponentially across iterations
+        new_labels = new_labels.localCheckpoint()
+        changed = (
+            labels.alias("o")
+            .join(new_labels.alias("n"), "doc_id")
+            .filter(F.col("o.lbl") != F.col("n.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    e.unpersist()
+    return labels.select("doc_id", F.col("lbl").alias("dup_of"))
