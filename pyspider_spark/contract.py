@@ -1216,6 +1216,106 @@ def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_corpus(_docs_aug_df(spark, sf_dir), threshold=0.5)
 
 
+def _sql_simhash_fp(d: str, bits: int = 32) -> str:
+    """CTE chain over docs_aug ending in ``fp(doc_id, simhash)``: a
+    ``bits``-wide portable simhash (md5-derived 32-bit token hash,
+    sign-aggregated per bit) — identical text → identical fingerprint
+    in both engines, so the banding op is exactly checkable."""
+    shift = (lambda i: f"shiftright(hv, {i})") if d == "spark" else (lambda i: f"(hv >> {i})")
+    bexpr = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN ({shift(i)} & 1) = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(bits)
+    )
+    if d == "spark":
+        tok_rows = "SELECT doc_id, tok FROM tok LATERAL VIEW explode(toks) t AS tok"
+    else:
+        tok_rows = "SELECT doc_id, unnest(toks) AS tok FROM tok"
+    return f"""
+{DOCS_AUG_CTE}, {_tok_cte(d, 'docs_aug')},
+tr AS ({tok_rows}),
+hashed AS (SELECT doc_id, {_h32(d, 'tok')} AS hv FROM tr),
+fp AS (SELECT doc_id, CAST({bexpr} AS BIGINT) AS simhash FROM hashed GROUP BY doc_id)"""
+
+
+ORACLE_SIMHASH_PAIRS = f"""
+WITH {_sql_simhash_fp('duck')}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SimHash near-dup ENGINE op (ops/dedup.simhash_near_dup):
+    pigeonhole band self-join + bit_count verify, checked against an
+    all-pairs hamming oracle (exact by the banding recall guarantee —
+    hamming<=3 with 4 bands forces one identical band). Fingerprints
+    here come from the portable md5 simhash so both engines hash
+    identically; the engine's crawl path uses the same op over the
+    crc32 fingerprints ``analyze_text`` emits per page."""
+    from pyspider_spark.ops.dedup import simhash_near_dup
+
+    register_views(spark, sf_dir)
+    fps = spark.sql(f"WITH {_sql_simhash_fp('spark')} SELECT doc_id, simhash FROM fp")
+    return simhash_near_dup(fps, bits=32, max_hamming=3)
+
+
+def _ann_queries(spark: SparkSession) -> DataFrame:
+    return (
+        spark.table("embeddings")
+        .filter(F.col("vec_id").isin(0, 1, 2))
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+
+
+ORACLE_ANN_TOPK = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+           FROM embeddings),
+n0 AS (SELECT vec_id, ev, sqrt(list_dot_product(ev, ev)) AS nrm FROM e),
+n AS (SELECT vec_id, list_transform(ev, x -> x / nrm) AS nv FROM n0),
+q AS (SELECT vec_id AS query_id, nv AS qnv FROM n WHERE vec_id IN (0, 1, 2)),
+scored AS (
+  SELECT q.query_id, n.vec_id,
+         round(list_dot_product(q.qnv, n.nv), 6) AS cosine
+  FROM q CROSS JOIN n
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, vec_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, rnk FROM ranked WHERE rnk <= 10
+"""
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-query ANN ENGINE op (ops/ann.ann_topk) on the exact
+    brute-force path (no probe) — the oracle is per-query top-10 by
+    cosine. The IVF-probed path of the same op is recall-checked in
+    tests/test_ann.py (approximate recall has no SQL-exact oracle)."""
+    from pyspider_spark.ops.ann import ann_topk
+
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    return ann_topk(spark, emb, _ann_queries(spark), k=10)
+
+
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only gate for the REAL IVF path: deterministic Lloyd
+    training (RNG-free, fixed init) + nprobe=2 of 8 inverted lists —
+    the driver's rows-only check asserts a stable, rerunnable result;
+    recall vs brute force is pinned in tests/test_ann.py."""
+    from pyspider_spark.ops.ann import ann_topk, train_ivf
+
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    cents = train_ivf(spark, emb, n_centroids=8, n_iters=3)
+    return ann_topk(spark, emb, _ann_queries(spark), k=10, centroids=cents, nprobe=2)
+
+
 CUSTOM: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "crawl_url_canon": (q_url_canon, ORACLE_URL_CANON),
     "dedup_minhash_pairs": (q_dedup_minhash_pairs, ORACLE_DEDUP_PAIRS),
@@ -1233,6 +1333,9 @@ CUSTOM: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     "crawl_fetch_extract": (q_fetch_extract, ORACLE_FETCH_EXTRACT),
     "crawl_data_url_fetch": (q_data_url_fetch, ORACLE_DATA_URL_FETCH),
     "crawl_merge_frontier": (q_merge_frontier, ORACLE_MERGE_FRONTIER),
+    "dedup_simhash_pairs": (q_simhash_near_dup, ORACLE_SIMHASH_PAIRS),
+    "sim_ann_topk": (q_ann_topk, ORACLE_ANN_TOPK),
+    "sim_ann_topk_ivf": (q_ann_topk_ivf, None),
     "crawl_bloom_seen": (q_bloom_seen, None),
     "mm_decode_features": (q_multimodal_features, None),
     "mm_resize": (q_multimodal_resize, None),

@@ -163,33 +163,94 @@ def verified_pairs(
     )
 
 
-def dedup_corpus(
-    docs: DataFrame,
-    threshold: float = 0.5,
-    max_iter: int = 20,
-    max_band_width: int | None = None,
+def simhash_near_dup(
+    fps: DataFrame,
+    bits: int = 32,
+    max_hamming: int = 3,
+    fp_col: str = "simhash",
 ) -> DataFrame:
-    """Keep-assignment for the whole corpus: (doc_id, dup_of) where
-    dup_of = min doc_id of the doc's near-duplicate connected component
+    """EXACT hamming-ball pairs over a (doc_id, fingerprint) table:
+    (doc_a, doc_b, hamming) with doc_a < doc_b and
+    popcount(fp_a XOR fp_b) <= max_hamming — without an all-pairs join.
+
+    Pigeonhole banding (the standard SimHash index, e.g. the Google
+    near-dup paper's block-permutation scheme): split the fingerprint
+    into ``max_hamming + 1`` bit-bands; any pair within hamming
+    max_hamming differs in at most max_hamming bands, so it MUST agree
+    exactly on at least one band → the band equi-self-join has full
+    recall and the bit_count verify makes it exact. Candidate volume
+    is N²/2^width per band — size ``bits`` so bands are ≥ ~log2(N)+ε
+    wide at the target corpus (64-bit fingerprints for web scale; the
+    32-bit default matches the engine's per-page ``analyze_text``
+    fingerprint). Fingerprints must be non-negative (< 2^bits).
+    """
+    n_bands = max_hamming + 1
+    width = bits // n_bands
+    fp = fps.select(F.col("doc_id"), F.col(fp_col).cast("long").alias("fp"))
+    bands = []
+    for b in range(n_bands):
+        lo = b * width
+        w = bits - lo if b == n_bands - 1 else width  # last takes remainder
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band_id"),
+                (F.shiftright("fp", lo).bitwiseAND(F.lit((1 << w) - 1))).alias(
+                    "band_val"
+                ),
+            )
+        )
+    bdf = fp.select(
+        "doc_id", F.explode(F.array(*bands)).alias("bb")
+    ).select("doc_id", "bb.band_id", "bb.band_val")
+    a, b = bdf.alias("a"), bdf.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("fp").alias("fa"))
+    fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("fp").alias("fb"))
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("bit_count(fa ^ fb)").cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def min_label_components(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Connected components by min-label propagation: ``nodes`` is
+    (doc_id), ``edges`` is undirected pairs (doc_a, doc_b); returns
+    (doc_id, dup_of) where dup_of = the component's min doc_id
     (dup_of == doc_id ⇔ the doc is the kept canonical copy).
 
-    Connected components by min-label propagation over the verified
-    edge set: labels start at doc_id; each iteration every node takes
-    the min of its own label and its neighbors' labels; stop at
-    fixpoint. Dedup components are near-cliques (every member collides
-    into the same band), so convergence is 2–3 iterations; ``max_iter``
-    bounds pathological chains. Each iteration is one co-partitioned
-    join + one hash agg — the same loop shape as large-star/small-star
-    connected components, which this upgrades to if diameters grow.
+    Labels start at doc_id (any orderable type — bigints or urls);
+    each iteration every node takes the min of its own label and its
+    neighbors' labels; stop at fixpoint. Dedup components are
+    near-cliques (every member collides into the same band/bucket), so
+    convergence is 2–3 iterations; ``max_iter`` bounds pathological
+    chains. Each iteration is one co-partitioned join + one hash agg —
+    the same loop shape as large-star/small-star connected components,
+    which this upgrades to if diameters grow.
     """
-    edges = verified_pairs(docs, threshold, max_band_width).select("doc_a", "doc_b")
     # undirected: propagate labels both ways
-    e = edges.unionByName(
+    e = edges.select("doc_a", "doc_b").unionByName(
         edges.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
         )
     ).persist()
-    labels = docs.select("doc_id", F.col("doc_id").alias("lbl")).persist()
+    labels = nodes.select("doc_id", F.col("doc_id").alias("lbl")).persist()
     labels.count()
     for _ in range(max_iter):
         nbr = (
@@ -218,3 +279,30 @@ def dedup_corpus(
             break
     e.unpersist()
     return labels.select("doc_id", F.col("lbl").alias("dup_of"))
+
+
+def dedup_corpus(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    max_iter: int = 20,
+    max_band_width: int | None = None,
+) -> DataFrame:
+    """Keep-assignment for the whole corpus via MinHash near-dup
+    edges: (doc_id, dup_of) — see :func:`min_label_components`."""
+    edges = verified_pairs(docs, threshold, max_band_width)
+    return min_label_components(docs.select("doc_id"), edges, max_iter)
+
+
+def simhash_keep_table(
+    fps: DataFrame,
+    bits: int = 32,
+    max_hamming: int = 3,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Keep-assignment over a (doc_id, simhash) fingerprint table —
+    the cheap corpus-dedup pass for crawl output, where the engine
+    already fingerprints every page (``analyze_text``): banded
+    hamming pairs → components → (doc_id, dup_of). doc_id may be any
+    orderable key (the crawl uses canonical urls)."""
+    edges = simhash_near_dup(fps, bits=bits, max_hamming=max_hamming)
+    return min_label_components(fps.select("doc_id"), edges, max_iter)

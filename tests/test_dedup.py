@@ -90,6 +90,99 @@ def test_chain_cluster_propagates_min_label(spark):
         assert out[x] == out[y]
 
 
+def _brute_hamming(fps: dict[int, int], max_h: int):
+    ids = sorted(fps)
+    out = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin(fps[a] ^ fps[b]).count("1")
+            if h <= max_h:
+                out.add((a, b, h))
+    return out
+
+
+def test_simhash_near_dup_exact_vs_brute_force(spark):
+    from pyspider_spark.ops.dedup import simhash_near_dup
+
+    # deterministic pseudo-random 32-bit fingerprints + planted pairs
+    fps = {i: (i * 2654435761) % (1 << 32) for i in range(1, 40)}
+    fps[100] = fps[1]  # hamming 0
+    fps[101] = fps[1] ^ 0b111  # hamming 3 (kept)
+    fps[102] = fps[1] ^ 0b1111  # hamming 4 (dropped)
+    fps[103] = fps[1] ^ ((1 << 31) | (1 << 0))  # spread across bands
+    df = spark.createDataFrame(
+        [(k, v) for k, v in fps.items()], "doc_id long, simhash long"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_near_dup(df, bits=32, max_hamming=3).collect()
+    }
+    expect = _brute_hamming(fps, 3)
+    assert got == expect
+    assert (1, 100, 0) in got and (1, 101, 3) in got and (1, 103, 2) in got
+    assert not any(a == 1 and b == 102 for a, b, _ in got)
+
+
+def test_simhash_band_remainder_bits(spark):
+    from pyspider_spark.ops.dedup import simhash_near_dup
+
+    # bits=30 with 4 bands → widths 7,7,7,9: pairs differing only in
+    # the top remainder bits must still be found (last band covers them)
+    fps = {1: 0, 2: 1 << 29, 3: (1 << 29) | (1 << 28) | (1 << 27) | (1 << 26)}
+    df = spark.createDataFrame(
+        [(k, v) for k, v in fps.items()], "doc_id long, simhash long"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_near_dup(df, bits=30, max_hamming=3).collect()
+    }
+    assert got == _brute_hamming(fps, 3)
+    assert (1, 2, 1) in got
+
+
+def test_simhash_keep_table_url_keys(spark):
+    from pyspider_spark.ops.dedup import simhash_keep_table
+
+    # url-string doc ids: exact fp copies collapse to the lexicographic
+    # min url; distinct fps stay canonical
+    rows = [
+        ("http://a.example/1", 0xDEADBEEF),
+        ("http://b.example/1", 0xDEADBEEF),
+        ("http://c.example/1", 0xDEADBEEE),  # hamming 1 from the pair
+        ("http://z.example/9", 0x12345678),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, simhash long")
+    out = {r["doc_id"]: r["dup_of"] for r in simhash_keep_table(df).collect()}
+    assert out["http://a.example/1"] == "http://a.example/1"
+    assert out["http://b.example/1"] == "http://a.example/1"
+    assert out["http://c.example/1"] == "http://a.example/1"
+    assert out["http://z.example/9"] == "http://z.example/9"
+
+
+def test_corpus_dedup_job_keep_table(spark):
+    """jobs/corpus_dedup.keep_table over a results-shaped frame:
+    latest-crawl-wins per url, simhash parsed from the result JSON."""
+    from jobs.corpus_dedup import keep_table
+
+    def res(url, simhash, t, taskid="t0"):
+        return ("p0", taskid, url, f'{{"text_len":9,"simhash":{simhash}}}', t)
+
+    rows = [
+        res("http://a.example/1", 7, 1.0),
+        res("http://a.example/1", 99, 2.0, "t1"),  # later crawl wins
+        res("http://b.example/1", 99, 1.0),
+        res("http://c.example/1", 1 << 20, 1.0),
+    ]
+    results = spark.createDataFrame(
+        rows, "project string, taskid string, url string, result string, updatetime double"
+    )
+    out = {r["url"]: (r["dup_of"], r["is_canonical"]) for r in keep_table(spark, results).collect()}
+    # a and b both fingerprint 99 after latest-wins → one cluster
+    assert out["http://a.example/1"] == ("http://a.example/1", True)
+    assert out["http://b.example/1"] == ("http://a.example/1", False)
+    assert out["http://c.example/1"] == ("http://c.example/1", True)
+
+
 def test_hot_band_guard_drops_wide_bands(spark):
     # 6 exact copies → one band bucket of width 6; guard at 3 drops it
     docs = spark.createDataFrame(
