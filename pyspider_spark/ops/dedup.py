@@ -249,23 +249,30 @@ def min_label_components(
         edges.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
         )
-    ).persist()
-    labels = nodes.select("doc_id", F.col("doc_id").alias("lbl")).persist()
-    labels.count()
+    ).localCheckpoint()
+    # the loop runs ONLY over edge-connected nodes — everything else
+    # keeps dup_of = doc_id and never enters a shuffle. At corpus
+    # scale near-dup members are a few percent of docs, so iterations
+    # cost O(dup docs), not O(corpus); singletons ride one final join.
+    labels = (
+        e.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("lbl", F.col("doc_id"))
+        .localCheckpoint()
+    )
     for _ in range(max_iter):
         nbr = (
             e.join(labels, e.doc_a == labels.doc_id)
             .select(F.col("doc_b").alias("doc_id"), "lbl")
         )
+        # localCheckpoint (eager) cuts the lineage so the plan doesn't
+        # grow exponentially across iterations
         new_labels = (
             labels.unionByName(nbr)
             .groupBy("doc_id")
             .agg(F.min("lbl").alias("lbl"))
-            .persist()
+            .localCheckpoint()
         )
-        # localCheckpoint cuts the lineage so the plan doesn't grow
-        # exponentially across iterations
-        new_labels = new_labels.localCheckpoint()
         changed = (
             labels.alias("o")
             .join(new_labels.alias("n"), "doc_id")
@@ -273,12 +280,19 @@ def min_label_components(
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    e.unpersist()
-    return labels.select("doc_id", F.col("lbl").alias("dup_of"))
+    clustered = labels.select("doc_id", F.col("lbl").alias("dup_of"))
+    return (
+        nodes.select("doc_id")
+        .join(clustered.withColumnRenamed("doc_id", "_cid"),
+              F.col("doc_id") == F.col("_cid"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("dup_of", F.col("doc_id")).alias("dup_of"),
+        )
+    )
 
 
 def dedup_corpus(
