@@ -26,10 +26,17 @@ def select_results(
     df = results
     if project is not None:
         df = df.filter(F.col("project") == project)
-    w = Window.orderBy(F.desc("updatetime"), F.asc("taskid"))
+    # Global-order paging without a global sort: orderBy().limit(n)
+    # compiles to TakeOrderedAndProject (per-partition top-n, tiny
+    # driver merge), so only offset+limit rows ever leave the scan.
+    # The row_number window then runs over that bounded head — its
+    # single partition holds ≤ offset+limit rows, never the table.
+    order = [F.desc("updatetime"), F.asc("taskid")]
+    head = df.orderBy(*order).limit(offset + limit)
+    w = Window.orderBy(*order)
     return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter((F.col("_rn") > offset) & (F.col("_rn") <= offset + limit))
+        head.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > offset)
         .drop("_rn")
     )
 

@@ -91,7 +91,7 @@ def probe_and_update(
     n_buckets = cfg.cuckoo_buckets
     bc = updates.sparkSession.sparkContext.broadcast(prev_blobs)
 
-    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         pid = int(key[0])
         bblob, cblob, n_prev = bc.value.get(pid, (None, None, 0))
         bloom = (
@@ -190,7 +190,7 @@ def rebuild_blooms(
     fpr = cfg.bloom_target_fpr
     caps = dict(capacities)
 
-    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         pid = int(key[0])
         keys = sorted(pdf["seen_k"].dropna().unique().tolist())
         m, k = bloom_params(caps.get(pid, cfg.bloom_expected_keys), fpr)

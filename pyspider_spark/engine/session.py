@@ -45,6 +45,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE re-plan (and coalesce) on top of persisted frames:
+        # the round pipeline persists its branch points (updates,
+        # fetched, …), and without this flag a cached frame freezes its
+        # shuffle partitioning — small rounds then drag hundreds of
+        # near-empty tasks (each paying Arrow/Python overhead) through
+        # every downstream union. With it, task counts track data size.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.files.maxPartitionBytes", "33554432")  # 32 MB splits: balanced scans of payload-heavy parquet
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
