@@ -131,11 +131,13 @@ def verified_pairs(
     anti-pattern)."""
     g = shingles(docs)
     # cand is tiny (near-dup pairs) and consumed three times below —
-    # persist it; grams are larger than the input corpus, so they are
-    # recomputed (scan + explode) rather than cached at 100 TB scale
+    # materialize it eagerly (localCheckpoint: plan-opaque, so the
+    # session's cached-plan re-optimization can't rewrite or recompute
+    # it per consumer); grams are larger than the input corpus, so they
+    # are recomputed (scan + explode) rather than cached at 100 TB scale
     cand = candidate_pairs(
         band_keys(minhash_signatures(g)), max_band_width
-    ).persist()
+    ).localCheckpoint()
     # prune grams to docs that appear in any candidate pair
     cand_docs = (
         cand.select(F.col("doc_a").alias("doc_id"))
