@@ -78,8 +78,9 @@ DISPATCH_TYPE = StructType(
 )
 
 
-@F.pandas_udf(DISPATCH_TYPE)
-def dispatch_udf(html: pd.Series, canon_url: pd.Series, callback: pd.Series) -> pd.DataFrame:
+def _dispatch_frame(
+    html: pd.Series, canon_url: pd.Series, callback: pd.Series
+) -> pd.DataFrame:
     from pyspider_spark import handlers as H
 
     texts, links, msgs, errs = [], [], [], []
@@ -96,6 +97,11 @@ def dispatch_udf(html: pd.Series, canon_url: pd.Series, callback: pd.Series) -> 
             msgs.append(None)
             errs.append(f"{type(e).__name__}: {e}"[:ERROR_TRUNC])
     return pd.DataFrame({"text": texts, "links": links, "messages": msgs, "error": errs})
+
+
+@F.pandas_udf(DISPATCH_TYPE)
+def dispatch_udf(html: pd.Series, canon_url: pd.Series, callback: pd.Series) -> pd.DataFrame:
+    return _dispatch_frame(html, canon_url, callback)
 
 
 @F.pandas_udf(StringType())
@@ -120,6 +126,26 @@ def analyze_udf(text: pd.Series) -> pd.DataFrame:
     from pyspider_spark.ops.textstats import analyze_frame
 
     return analyze_frame(text)
+
+
+# fused dispatch + analysis: ONE Arrow pass over the html batch emits
+# extraction AND the per-page analysis columns (flat; the engine
+# reassembles the `analysis` struct JVM-side). Two separate pandas UDFs
+# would ship the full text corpus JVM→Python a second time and pay a
+# second Python pass — at bench scale that second hop is pure overhead.
+DISPATCH_ANALYZE_TYPE = StructType(
+    DISPATCH_TYPE.fields + list(ANALYZE_TYPE.fields)
+)
+
+
+@F.pandas_udf(DISPATCH_ANALYZE_TYPE)
+def dispatch_analyze_udf(
+    html: pd.Series, canon_url: pd.Series, callback: pd.Series
+) -> pd.DataFrame:
+    from pyspider_spark.ops.textstats import analyze_frame
+
+    base = _dispatch_frame(html, canon_url, callback)
+    return pd.concat([base, analyze_frame(base["text"])], axis=1)
 
 
 def prepare_pages(pages: DataFrame) -> DataFrame:
@@ -190,25 +216,34 @@ def fetch_and_extract(
 
     catch = catch_error_callbacks()
     dispatchable = (F.col("code") == FETCH_OK) | F.col("callback").isin(catch)
+    udf = dispatch_analyze_udf if cfg.analyze else dispatch_udf
     ext = F.when(
         dispatchable,
-        dispatch_udf(F.col("html"), F.col("canon_url"), F.col("callback")),
+        udf(F.col("html"), F.col("canon_url"), F.col("callback")),
     ).otherwise(F.lit(None))
     f = f.withColumn("_ext", ext)
     # final ok = dispatched AND the handler didn't raise — the
     # reference derives task ok from the callback outcome
+    proc_ok = (dispatchable & F.col("_ext.error").isNull()).alias("proc_ok")
     out = f.select(
         *[c for c in sched.columns],
         "code",
-        (dispatchable & F.col("_ext.error").isNull()).alias("proc_ok"),
+        proc_ok,
         F.col("_ext.text").alias("text"),
         F.col("_ext.links").alias("links"),
         F.col("_ext.messages").alias("messages"),
         F.col("_ext.error").alias("proc_error"),
+        *(
+            [
+                F.when(
+                    dispatchable & F.col("_ext.error").isNull(),
+                    F.struct(
+                        *[F.col(f"_ext.{f.name}").alias(f.name) for f in ANALYZE_TYPE.fields]
+                    ),
+                ).alias("analysis")
+            ]
+            if cfg.analyze
+            else []
+        ),
     )
-    if cfg.analyze:
-        out = out.withColumn(
-            "analysis",
-            F.when(F.col("proc_ok"), analyze_udf(F.col("text"))),
-        )
     return out
