@@ -382,6 +382,15 @@ class CrawlEngine:
         upd = collapse_updates(upd_all.filter(~F.col("cancel"))).persist(
             StorageLevel.MEMORY_AND_DISK
         )
+        # Materialize both caches NOW with one action: the probe write
+        # below unions two branches (cancels ∪ upd) that both scan
+        # upd_all — against a COLD cache, AQE materializes each union
+        # branch as its own concurrent cache-build job, so the Python
+        # normalize pass runs twice and races itself for cores
+        # (measured as duplicate concurrent jobs in the event log).
+        # One count() = one normalize + one collapse, then every branch
+        # reads warm.
+        upd.count()
 
         # --- seen probe (J2/J3): pure grouped-map; previous blobs go out
         # via broadcast, updated blobs come back as binary state rows in
@@ -526,7 +535,6 @@ class CrawlEngine:
         # proc_ok, not raw code: @catch_status_code_error callbacks
         # settle SUCCESS from the handler outcome (U3)
         ok = fetched.filter(F.col("proc_ok"))
-        fail = fetched.filter(~F.col("proc_ok"))
 
         res_fields = [
             F.length(F.coalesce("text", F.lit(""))).alias("text_len"),
@@ -619,35 +627,36 @@ class CrawlEngine:
         ).alias("track")
 
         spid = pid_col(cfg.n_partitions).alias("pid")
-        settle_ok = ok.select(
+        # ONE scan of `fetched` for both outcomes (CASE WHEN on proc_ok)
+        # instead of settle_ok ∪ settle_fail: two union branches over
+        # the not-yet-materialized `fetched` cache make AQE build the
+        # cache twice concurrently (each branch becomes its own
+        # cache-materialization job → the extract UDF runs 2x over the
+        # full page batch, measured in the event log).
+        is_ok = F.col("proc_ok")
+        recrawl = F.col("auto_recrawl") & (F.col("age") >= 0)
+        can_retry = F.col("retries_left") > 0
+        settle_of = fetched.select(
             *KEY,
             spid,
             track,
-            F.when(
-                F.col("auto_recrawl") & (F.col("age") >= 0), F.lit(ACTIVE)
-            ).otherwise(F.lit(SUCCESS)).alias("new_status"),
-            F.when(
-                F.col("auto_recrawl") & (F.col("age") >= 0), F.lit(now) + F.col("age")
-            ).alias("new_exetime"),
-            F.lit(None).cast("int").alias("new_retries_left"),
-            F.lit(now).alias("new_lastcrawltime"),
-            F.lit("ok").alias("kind"),
-        )
-        settle_fail = fail.select(
-            *KEY,
-            spid,
-            track,
-            F.when(F.col("retries_left") > 0, F.lit(ACTIVE))
+            F.when(is_ok & recrawl, F.lit(ACTIVE))
+            .when(is_ok, F.lit(SUCCESS))
+            .when(can_retry, F.lit(ACTIVE))
             .otherwise(F.lit(FAILED))
             .alias("new_status"),
-            F.when(F.col("retries_left") > 0, F.lit(now) + retry_case).alias("new_exetime"),
-            F.when(F.col("retries_left") > 0, F.col("retries_left") - 1)
+            F.when(is_ok & recrawl, F.lit(now) + F.col("age"))
+            .when(~is_ok & can_retry, F.lit(now) + retry_case)
+            .alias("new_exetime"),
+            F.when(is_ok, F.lit(None).cast("int"))
+            .when(can_retry, F.col("retries_left") - 1)
             .otherwise(F.col("retries_left"))
             .alias("new_retries_left"),
-            F.lit(None).cast("double").alias("new_lastcrawltime"),
+            F.when(is_ok, F.lit(now)).alias("new_lastcrawltime"),
             # processor exceptions are a distinct kind: they feed the
             # P6 exception-burst pause below
-            F.when(F.col("proc_error").isNotNull(), F.lit("err"))
+            F.when(is_ok, F.lit("ok"))
+            .when(F.col("proc_error").isNotNull(), F.lit("err"))
             .otherwise(F.lit("fail"))
             .alias("kind"),
         )
@@ -661,7 +670,7 @@ class CrawlEngine:
             F.lit(None).cast("double").alias("new_lastcrawltime"),
             F.lit("blocked").alias("kind"),
         )
-        settle = settle_ok.unionByName(settle_fail).unionByName(settle_bad)
+        settle = settle_of.unionByName(settle_bad)
 
         # The settle write runs ALONE first: it is the job that
         # materializes the fetch+extract pipeline into the `fetched`
