@@ -1025,43 +1025,101 @@ def q_bloom_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mm_docs(spark: SparkSession, mime: str) -> DataFrame:
+    """Documents as opaque binary payloads (utf-8 bytes of text), so the
+    DuckDB oracle can reproduce the fake decoders with md5(text)."""
+    return spark.sql(
+        "SELECT doc_id, CAST(encode(text, 'utf-8') AS BINARY) AS payload, "
+        f"'{mime}' AS mime FROM documents"
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing rows-only — binary payload column through a
-    mapInPandas feature extractor (decode stubbed deterministically)."""
+    """Multimodal decode — binary payload column through a mapInPandas
+    feature extractor. Decode is the deterministic md5-derived fake
+    (`ops/multimodal.py`), so the oracle recomputes the exact
+    width/height/channels from md5(text) hex bytes in SQL."""
     from pyspider_spark.ops.multimodal import extract_features
 
     register_views(spark, sf_dir)
-    docs = spark.sql(
-        "SELECT doc_id, CAST(encode(text, 'utf-8') AS BINARY) AS payload, "
-        "'image/fake' AS mime FROM documents"
-    )
-    return extract_features(docs)
+    return extract_features(_mm_docs(spark, "image/fake"))
 
 
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal resize plumbing rows-only — binary in, binary out via
-    mapInPandas (decode/encode stubbed deterministically)."""
+    """Multimodal resize — binary in, binary out via mapInPandas; the
+    re-encoded payload surfaces as lowercase hex so DuckDB (no blob
+    md5) can reproduce it: md5(text || '224x224') || hex(tag)."""
     from pyspider_spark.ops.multimodal import resize_batch
 
     register_views(spark, sf_dir)
-    docs = spark.sql(
-        "SELECT doc_id, CAST(encode(text, 'utf-8') AS BINARY) AS payload, "
-        "'image/fake' AS mime FROM documents"
+    out = resize_batch(_mm_docs(spark, "image/fake"), target=(224, 224))
+    return out.select(
+        "doc_id",
+        "mime",
+        F.lower(F.hex("resized")).alias("resized_hex"),
+        "width",
+        "height",
     )
-    return resize_batch(docs, target=(224, 224))
 
 
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal frame-sample plumbing rows-only — one row per sampled
-    frame, exploded inside the Arrow batch."""
+    """Multimodal frame-sample — one row per sampled frame, exploded
+    inside the Arrow batch. The per-doc frame count is md5-derived, so
+    the oracle checks the variable-length explode (row multiplicity +
+    frame_idx sequence + frame size); frame *bytes* are pinned by
+    tests/test_multimodal.py (DuckDB md5 can't hash blobs)."""
     from pyspider_spark.ops.multimodal import sample_frames_batch
 
     register_views(spark, sf_dir)
-    docs = spark.sql(
-        "SELECT doc_id, CAST(encode(text, 'utf-8') AS BINARY) AS payload, "
-        "'video/fake' AS mime FROM documents"
+    out = sample_frames_batch(_mm_docs(spark, "video/fake"), every_n=10)
+    return out.select("doc_id", "frame_idx", F.length("frame").alias("frame_len"))
+
+
+def _hexbyte(h: str, i: int) -> str:
+    """SQL for byte ``i`` of the hex digest expression ``h``."""
+    hexd = "'0123456789abcdef'"
+    return (
+        f"(instr({hexd}, substr({h}, {2 * i + 1}, 1)) - 1) * 16"
+        f" + instr({hexd}, substr({h}, {2 * i + 2}, 1)) - 1"
     )
-    return sample_frames_batch(docs, every_n=10)
+
+
+# fake decode_image: (16 + d[0] % 240, 16 + d[1] % 240, 1 + d[2] % 4)
+# over d = md5(payload); payload = utf-8 bytes of text ⇒ md5(text).
+ORACLE_MM_FEATURES = f"""
+WITH d AS (SELECT doc_id, text, md5(text) AS h FROM documents)
+SELECT doc_id, 'image/fake' AS mime,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  h AS md5,
+  CAST(16 + ({_hexbyte('h', 0)}) % 240 AS INT) AS width,
+  CAST(16 + ({_hexbyte('h', 1)}) % 240 AS INT) AS height,
+  CAST(1 + ({_hexbyte('h', 2)}) % 4 AS INT) AS channels
+FROM d
+"""
+
+# fake resize_image: md5(payload + b'224x224').digest() + b'224x224';
+# hex('224x224') = 32323478323234
+ORACLE_MM_RESIZE = """
+SELECT doc_id, 'image/fake' AS mime,
+  md5(text || '224x224') || '32323478323234' AS resized_hex,
+  CAST(224 AS INT) AS width, CAST(224 AS INT) AS height
+FROM documents
+"""
+
+# fake sample_frames: n_frames = 1 + d[3] % 120, sampled every 10th ⇒
+# ceil(n_frames/10) rows with frame_idx 0,10,…; each frame is a 16-byte
+# md5 digest.
+ORACLE_MM_FRAMES = f"""
+WITH d AS (
+  SELECT doc_id, 1 + ({_hexbyte("md5(text)", 3)}) % 120 AS n_frames
+  FROM documents
+)
+SELECT doc_id,
+  CAST(10 * unnest(generate_series(0, CAST(ceil(n_frames / 10.0) AS INT) - 1)) AS INT)
+    AS frame_idx,
+  CAST(16 AS INT) AS frame_len
+FROM d
+"""
 
 
 def entry_df(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
@@ -1316,7 +1374,46 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk(spark, emb, _ann_queries(spark), k=10, centroids=cents, nprobe=2)
 
 
+def q_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — the engine's REAL ``project_window_counts`` rollup
+    (engine/results.py) over a metrics frame derived from `events`:
+    project/kind/now/cnt columns, 5-minute tumbling windows on the
+    logical clock. Oracle: the same floor-window GROUP BY in DuckDB."""
+    from pyspider_spark.engine.results import project_window_counts
+
+    register_views(spark, sf_dir)
+    epoch = (
+        "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS DOUBLE) * 86400.0"
+        " + hour(ts) * 3600.0 + minute(ts) * 60.0 + second(ts)"
+    )
+    m = spark.sql(
+        f"""
+        SELECT concat('p', CAST(user_id % 3 AS STRING)) AS project,
+               event_type AS kind,
+               {epoch} AS now,
+               CAST(event_id % 7 + 1 AS BIGINT) AS cnt
+        FROM events"""
+    )
+    out = project_window_counts(m, window_s=300.0)
+    return out.select(
+        "project",
+        "kind",
+        F.col("window_start").cast("bigint").alias("window_start"),
+        F.col("cnt").cast("bigint").alias("cnt"),
+    )
+
+
+ORACLE_WINDOW_ROLLUP = """
+SELECT concat('p', CAST(user_id % 3 AS VARCHAR)) AS project,
+       event_type AS kind,
+       CAST(floor(epoch(ts) / 300.0) * 300 AS BIGINT) AS window_start,
+       CAST(sum(event_id % 7 + 1) AS BIGINT) AS cnt
+FROM events GROUP BY 1, 2, 3
+"""
+
+
 CUSTOM: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "crawl_window_rollup": (q_window_rollup, ORACLE_WINDOW_ROLLUP),
     "crawl_url_canon": (q_url_canon, ORACLE_URL_CANON),
     "dedup_minhash_pairs": (q_dedup_minhash_pairs, ORACLE_DEDUP_PAIRS),
     "dedup_corpus_keep": (q_dedup_corpus, ORACLE_DEDUP_CORPUS),
@@ -1337,9 +1434,9 @@ CUSTOM: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     "sim_ann_topk": (q_ann_topk, ORACLE_ANN_TOPK),
     "sim_ann_topk_ivf": (q_ann_topk_ivf, None),
     "crawl_bloom_seen": (q_bloom_seen, None),
-    "mm_decode_features": (q_multimodal_features, None),
-    "mm_resize": (q_multimodal_resize, None),
-    "mm_frame_sample": (q_multimodal_frames, None),
+    "mm_decode_features": (q_multimodal_features, ORACLE_MM_FEATURES),
+    "mm_resize": (q_multimodal_resize, ORACLE_MM_RESIZE),
+    "mm_frame_sample": (q_multimodal_frames, ORACLE_MM_FRAMES),
 }
 
 

@@ -173,15 +173,17 @@ def fetch_and_extract(
     html corpus (~50 GB/round at bench scale — the job goes IO-bound).
     Decomposition with zero payload shuffle:
 
-      hits   = pages INNER JOIN broadcast(sched)   -- streams (url,html) scan
-      misses = sched LEFT ANTI pages[canon_url]    -- key-only column scan
-      fetch  = hits ∪ (misses, html=null)          -- miss ⇒ 404 path
+      hits    = pages INNER JOIN broadcast(sched)     -- streams (url,html) scan
+      hitkeys = pages[canon_url] SEMI broadcast(sched)-- key-only streamed scan
+      misses  = sched LEFT ANTI broadcast(hitkeys)    -- no corpus-key shuffle
+      fetch   = rebalance(hits ∪ (misses, html=null)) -- miss ⇒ 404 path
 
-    The anti join moves only the key column (parquet column pruning),
-    so per round: one full payload scan + one key-column scan, no
-    payload shuffle. At 100 TB with multi-GB schedules the same
-    property comes from bucketing the Iceberg pages table by canon_url
-    and repartitioning only the schedule into those buckets.
+    Per round: one full payload scan + one key-column scan, zero
+    corpus-side shuffle (neither payloads nor keys), and one
+    schedule-sized rebalance exchange feeding extraction. At 100 TB
+    with multi-GB schedules the same property comes from bucketing the
+    Iceberg pages table by canon_url and repartitioning only the
+    schedule into those buckets.
 
     Broadcast guard (ADVICE r1): the hint is only applied when the
     schedule size is *provably* bounded — `sched_rows` (exact, from the
@@ -191,16 +193,42 @@ def fetch_and_extract(
     the hint AQE picks the strategy from observed sizes.
     """
     bound = sched_rows if sched_rows is not None else cfg.round_budget
-    build = (
-        F.broadcast(sched)
-        if bound is not None and bound <= cfg.fetch_broadcast_max_rows
-        else sched
-    )
+    bcast = bound is not None and bound <= cfg.fetch_broadcast_max_rows
+    build = F.broadcast(sched) if bcast else sched
     hits = pages_canon.join(build, "canon_url", "inner")
-    misses = sched.join(
-        pages_canon.select("canon_url"), "canon_url", "left_anti"
-    ).withColumn("html", F.lit(None).cast("binary"))
+    if bcast:
+        # Miss detection without shuffling the corpus key column: a
+        # second key-only streamed scan of pages (broadcast semi join —
+        # parquet reads just canon_url) yields the hit-key set, which is
+        # schedule-bounded and therefore broadcastable into the anti
+        # join. The naive `sched ANTI pages[canon_url]` instead hash-
+        # exchanges EVERY page key each round (7.2 M rows at bench
+        # scale, 10^10 at the north scale) to subtract a 10^5-row
+        # schedule.
+        hitkeys = pages_canon.select("canon_url").join(
+            build.select("canon_url"), "canon_url", "left_semi"
+        )
+        misses = sched.join(F.broadcast(hitkeys), "canon_url", "left_anti")
+    else:
+        misses = sched.join(
+            pages_canon.select("canon_url"), "canon_url", "left_anti"
+        )
+    misses = misses.withColumn("html", F.lit(None).cast("binary"))
     f = hits.select(*sched.columns, "html").unionByName(misses.select(*sched.columns, "html"))
+    # Rebalance BEFORE extraction: the join's surviving rows inherit the
+    # scan's input splits, and a schedule is usually *clustered* in the
+    # pages table (a crawl fetches what it recently discovered, and
+    # ingest appends in discovery order — in the bench fixture ALL seeds
+    # sit in row group 0). Without this exchange the Python extraction
+    # of an entire round lands on the handful of scan tasks whose row
+    # groups held the hits (measured: 225k pages extracted by ONE core,
+    # 430 s ≈ 98% of the round). The shuffle moves only the
+    # schedule-sized hit payload (round_budget × page size — never the
+    # corpus), AQE coalesces it on small rounds, and extraction then
+    # runs at full cluster width. REBALANCE (not a fixed repartition N)
+    # lets AQE size the exchange: ~advisory-bytes per task on big
+    # rounds, coalesced to a handful of tasks on small ones.
+    f = f.hint("rebalance")
     code = (
         F.when(F.col("canon_url").startswith("data:"), F.lit(FETCH_OK))
         .when(F.col("host") == "slow.example", F.lit(FETCH_TIMEOUT))

@@ -24,7 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 FEATURE_SCHEMA = (
-    "doc_id long, mime string, n_bytes long, sha1 string, "
+    "doc_id long, mime string, n_bytes long, md5 string, "
     "width int, height int, channels int"
 )
 
@@ -42,7 +42,7 @@ def decode_image(payload: bytes, mime: str, fake: bool = True) -> tuple[int, int
             "real image decode requires PIL/libvips — not installed; "
             "plug in here and flip fake=False"
         )
-    h = hashlib.sha1(payload).digest()
+    h = hashlib.md5(payload).digest()
     return 16 + h[0] % 240, 16 + h[1] % 240, 1 + h[2] % 4
 
 
@@ -51,13 +51,13 @@ def resize_image(
 ) -> bytes:
     """Return the re-encoded resized payload.
 
-    ``fake=True`` emits a deterministic surrogate (sha1 of payload +
+    ``fake=True`` emits a deterministic surrogate (md5 of payload +
     target box) so batch shape / byte round-trip is exercised;
     ``fake=False`` is the production hook (PIL ``Image.resize``)."""
     if not fake:
         raise NotImplementedError("real resize requires PIL — plug in here")
     tag = f"{target[0]}x{target[1]}".encode()
-    return hashlib.sha1(payload + tag).digest() + tag
+    return hashlib.md5(payload + tag).digest() + tag
 
 
 def sample_frames(
@@ -70,10 +70,10 @@ def sample_frames(
     hook (ffmpeg/pyav)."""
     if not fake:
         raise NotImplementedError("real frame sampling requires ffmpeg/pyav")
-    h = hashlib.sha1(payload).digest()
+    h = hashlib.md5(payload).digest()
     n_frames = 1 + h[3] % 120
     return [
-        hashlib.sha1(payload + i.to_bytes(4, "big")).digest()
+        hashlib.md5(payload + i.to_bytes(4, "big")).digest()
         for i in range(0, n_frames, every_n)
     ]
 
@@ -93,7 +93,7 @@ def extract_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                     "doc_id": pdf["doc_id"].astype("int64"),
                     "mime": pdf["mime"],
                     "n_bytes": [len(bytes(p)) for p in pdf[payload_col]],
-                    "sha1": [hashlib.sha1(bytes(p)).hexdigest() for p in pdf[payload_col]],
+                    "md5": [hashlib.md5(bytes(p)).hexdigest() for p in pdf[payload_col]],
                     "width": [d[0] for d in dims],
                     "height": [d[1] for d in dims],
                     "channels": [d[2] for d in dims],

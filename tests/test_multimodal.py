@@ -56,8 +56,8 @@ def test_extract_features_spark(spark):
     out = extract_features(_docs(spark)).collect()
     assert len(out) == 40
     by_id = {r["doc_id"]: r for r in out}
-    expect = hashlib.sha1(b"doc body 7").hexdigest()
-    assert by_id[7]["sha1"] == expect
+    expect = hashlib.md5(b"doc body 7").hexdigest()
+    assert by_id[7]["md5"] == expect
     assert by_id[7]["n_bytes"] == len(b"doc body 7")
     w, h, c = decode_image(b"doc body 7", "image/fake")
     assert (by_id[7]["width"], by_id[7]["height"], by_id[7]["channels"]) == (w, h, c)

@@ -88,6 +88,36 @@ def test_fetch_join_broadcasts_bounded_schedule(spark, pages_and_sched):
     assert "BroadcastHashJoin" in plan
 
 
+def test_fetch_extraction_runs_above_rebalance(spark, pages_and_sched):
+    """The Python extraction must sit ABOVE a rebalance exchange: the
+    join's surviving rows inherit the scan's splits, and schedules are
+    clustered in the pages table (discovery-order ingest), so without
+    the exchange one scan task does the whole round's extraction
+    (measured 225k pages on one core at bench scale)."""
+    from pyspider_spark.engine.fetchx import fetch_and_extract
+
+    pages, sched = pages_and_sched
+    cfg = RoundConfig(n_partitions=4, round_budget=100)
+    plan = _plan(fetch_and_extract(sched, pages, cfg, sched_rows=10))
+    assert "ArrowEvalPython" in plan
+    assert "REBALANCE" in plan
+    # topology: the UDF eval is downstream (earlier in explain output)
+    # of the rebalance exchange
+    assert plan.index("ArrowEvalPython") < plan.index("REBALANCE")
+
+
+def test_fetch_miss_antijoin_never_shuffles_corpus_keys(spark, pages_and_sched):
+    """Bounded schedule ⇒ miss detection = key-only streamed scan +
+    broadcast anti join; a hashpartitioning exchange of the pages key
+    column would shuffle 10^10 keys per round at north scale."""
+    from pyspider_spark.engine.fetchx import fetch_and_extract
+
+    pages, sched = pages_and_sched
+    cfg = RoundConfig(n_partitions=4, round_budget=100)
+    plan = _plan(fetch_and_extract(sched, pages, cfg, sched_rows=10))
+    assert "SortMergeJoin" not in plan
+
+
 def test_fetch_join_no_forced_broadcast_when_unbounded(spark, pages_and_sched):
     from pyspider_spark.engine.fetchx import fetch_and_extract
 
