@@ -66,27 +66,46 @@ def _spark(cores: int):
     return get_spark(cores=cores, shuffle_partitions=64, app_name=f"bench_local{cores}")
 
 
-def ensure_fixtures(spark, sf_dir: str, mult: int = 1, page_words: int = 30) -> str:
+def ensure_fixtures(
+    spark, sf_dir: str, mult: int = 1, page_words: int = 30, seeds_div: int = 30
+) -> str:
     """Synthesize (once, cached) the bench web for this sf dir. Seed
     count scales with the keyspace so round sizes reach ~10^5 at sf0.1
     (BASELINE.md protocol: one round ≥ 30 s at local[8]); ``mult``
-    multiplies the keyspace for the scaling measurement, where per-round
-    compute must dominate fixed per-round overhead."""
+    multiplies the keyspace. ``seeds_div`` sets round density
+    (seeds = keys/seeds_div): the default sparse regime for the driver
+    bench, a dense regime (seeds_div≈5, rounds of ~10^6 URLs) for the
+    scaling measurement — the 10^10-URL design point runs rounds of
+    10^7-10^8 URLs, i.e. a far larger schedule:corpus ratio than the
+    sparse sandbox default, and in the sparse regime per-round fixed
+    latency dominates and no engine's scaling is visible."""
     import pyarrow.parquet as pq
 
     n_keys = pq.ParquetFile(os.path.join(sf_dir, "orders.parquet")).metadata.num_rows * mult
-    n_seeds = max(1000, n_keys // 30)
+    n_seeds = max(1000, n_keys // seeds_div)
+    # dense mode uses every-d-th-key seeding (spread, not prefix) so the
+    # follow frontier stays mostly unseen and every round remains large
+    seeds_every = None if seeds_div == 30 else seeds_div
+    sfx = "" if seeds_div == 30 else f"_s{seeds_div}"
     out = os.path.join(
-        CACHE_ROOT, f"{os.path.basename(sf_dir.rstrip('/'))}_m{mult}_w{page_words}"
+        CACHE_ROOT, f"{os.path.basename(sf_dir.rstrip('/'))}_m{mult}_w{page_words}{sfx}"
     )
     marker = os.path.join(out, "_DONE")
     from pyspider_spark.bench.webgen import GEN_VERSION, materialize
 
-    tag = f"v{GEN_VERSION},hosts={N_HOSTS},seeds={n_seeds},keys={n_keys},words={page_words}"
+    mode = f"every{seeds_every}" if seeds_every else n_seeds
+    tag = f"v{GEN_VERSION},hosts={N_HOSTS},seeds={mode},keys={n_keys},words={page_words}"
     if not (os.path.exists(marker) and open(marker).read() == tag):
         shutil.rmtree(out, ignore_errors=True)
         materialize(
-            spark, sf_dir, out, n_hosts=N_HOSTS, n_seeds=n_seeds, mult=mult, page_words=page_words
+            spark,
+            sf_dir,
+            out,
+            n_hosts=N_HOSTS,
+            n_seeds=n_seeds,
+            mult=mult,
+            page_words=page_words,
+            seeds_every=seeds_every,
         )
         with open(marker, "w") as f:
             f.write(tag)
@@ -122,16 +141,26 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     return times
 
 
-def run_crawl(spark, fixtures_dir: str, rounds: int = CRAWL_ROUNDS, mult: int = 1) -> dict:
-    """Fresh-state crawl of `rounds` rounds; returns wall + URL totals."""
+def run_crawl(
+    spark,
+    fixtures_dir: str,
+    rounds: int = CRAWL_ROUNDS,
+    mult: int = 1,
+    host_rate: float | None = None,
+) -> dict:
+    """Fresh-state crawl of `rounds` rounds; returns wall + URL totals.
+    ``host_rate`` overrides the per-host token rate/burst — the dense
+    scaling bench uses it to bound round size INSIDE the salted
+    politeness pass (scales with cores) instead of a global TakeOrdered
+    budget cut (single-reducer at 10^6-row budgets)."""
     from pyspider_spark.config import RoundConfig
     from pyspider_spark.engine.round import CrawlEngine
 
     state = os.path.join(fixtures_dir, f"state_{os.getpid()}")
     shutil.rmtree(state, ignore_errors=True)
     cfg = RoundConfig(
-        rate=200.0 * mult,
-        burst=200.0 * mult,
+        rate=host_rate if host_rate is not None else 200.0 * mult,
+        burst=host_rate if host_rate is not None else 200.0 * mult,
         n_partitions=32,
         round_budget=None,
         analyze=True,  # per-page analysis is part of the measured pipeline
@@ -185,6 +214,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--rounds", type=int, default=CRAWL_ROUNDS)
     ap.add_argument("--pages-mult", type=int, default=1, help="keyspace multiplier for the bench web")
     ap.add_argument("--page-words", type=int, default=30, help="approx words per synthetic page body")
+    ap.add_argument("--seeds-div", type=int, default=30, help="round density: seeds = keys/seeds_div")
+    ap.add_argument("--host-rate", type=float, default=None, help="per-host token rate/burst override")
     ap.add_argument("--scaling", action="store_true", help="run crawl at local[8] and local[32], report efficiency")
     args = ap.parse_args(argv)
 
@@ -209,8 +240,16 @@ def main(argv: list[str] | None = None) -> int:
         out["queries"].update(qt)
         total += sum(qt.values())
     if not args.queries_only:
-        fx = ensure_fixtures(spark, args.sf_dir, mult=args.pages_mult, page_words=args.page_words)
-        crawl = run_crawl(spark, fx, rounds=args.rounds, mult=args.pages_mult)
+        fx = ensure_fixtures(
+            spark,
+            args.sf_dir,
+            mult=args.pages_mult,
+            page_words=args.page_words,
+            seeds_div=args.seeds_div,
+        )
+        crawl = run_crawl(
+            spark, fx, rounds=args.rounds, mult=args.pages_mult, host_rate=args.host_rate
+        )
         out["queries"]["crawl_rounds"] = crawl["wall_s"]
         out["crawl"] = crawl
         total += crawl["wall_s"]
@@ -220,12 +259,24 @@ def main(argv: list[str] | None = None) -> int:
     return 0
 
 
-def run_scaling(sf_dir: str, mult: int = 48, page_words: int = 1200) -> int:
+def run_scaling(
+    sf_dir: str, mult: int = 48, page_words: int = 1200, seeds_div: int = 5
+) -> int:
     """North-rule scaling evidence: same job, same input, two
     parallelism levels in fresh JVMs. efficiency = (ups_32/ups_8)/4.
-    Uses a `mult`-times-larger web with realistic page bodies so
-    per-round compute (extraction + per-page analysis) dominates fixed
-    per-round overhead (the regime the 10^10-URL design point lives in)."""
+
+    Regime: `mult`-times-larger web with realistic page bodies AND
+    dense rounds (``seeds_div=5`` → rounds of ~10^6 URLs over a 7.2 M
+    page web). Two single-box ceilings force the dense regime for a
+    meaningful measurement (both quantified in BENCH/BASELINE.md):
+    (a) per-round fixed latency (~15-20 s of Spark job scheduling +
+    driver bookkeeping) — invariant in cores, dominates sparse rounds;
+    (b) the corpus-scan decode is memory-BANDWIDTH-bound, and one box's
+    memory bus is shared across both legs (a real 4x cluster scales
+    bandwidth 4x with nodes). Dense rounds make per-URL extraction —
+    the component that scales with cores everywhere — the dominant
+    term, which is exactly the 10^10-design-point proportion (rounds of
+    10^7-10^8 URLs)."""
     results = {}
     for cores in (32, 8):  # 32 first: fixture gen (cached) uses all cores
         cmd = [
@@ -237,11 +288,15 @@ def run_scaling(sf_dir: str, mult: int = 48, page_words: int = 1200) -> int:
             "--sf-dir",
             sf_dir,
             "--rounds",
-            "4",
+            "3",
             "--pages-mult",
             str(mult),
             "--page-words",
             str(page_words),
+            "--seeds-div",
+            str(seeds_div),
+            "--host-rate",
+            "3000",
         ]
         p = subprocess.run(cmd, capture_output=True, text=True)
         if p.returncode != 0:
@@ -263,6 +318,7 @@ def run_scaling(sf_dir: str, mult: int = 48, page_words: int = 1200) -> int:
         "sf": _sf_of(sf_dir),
         "pages_mult": mult,
         "page_words": page_words,
+        "seeds_div": seeds_div,
         "t_local8_s": results[8]["crawl"]["wall_s"],
         "t_local32_s": results[32]["crawl"]["wall_s"],
         "steady_urls_per_sec_local8": u8,

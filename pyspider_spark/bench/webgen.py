@@ -165,12 +165,23 @@ def synth_pages(
 
 
 def synth_seeds(
-    spark: SparkSession, sf_dir: str, n_hosts: int, n_seeds: int, mult: int = 1
+    spark: SparkSession,
+    sf_dir: str,
+    n_hosts: int,
+    n_seeds: int,
+    mult: int = 1,
+    every: int | None = None,
 ) -> DataFrame:
+    """``every=None``: seeds = first n_seeds keys (discovery-order
+    cluster — the sparse default). ``every=d``: seeds = every d-th key,
+    spread across the keyspace so follow targets (k+offset) land mostly
+    on UNSEEN keys — the dense-round regime for the scaling bench,
+    where every round must stay ~10^6 URLs instead of collapsing into
+    the already-seen seed neighborhood after round 0."""
     k = F.col("k")
     df, _n = _keyspace(spark, sf_dir, mult)
     return (
-        df.filter(k < n_seeds)
+        df.filter((k % every == 0) if every else (k < n_seeds))
         .select(
             _url_of(k, n_hosts).alias("url"),
             F.lit("bench").alias("project"),
@@ -217,6 +228,7 @@ def materialize(
     mult: int = 1,
     page_words: int = 30,
     golden_text: bool = False,
+    seeds_every: int | None = None,
 ) -> dict[str, str]:
     """Write the fixture set once; cached across bench runs (pure
     function of sf_dir contents + parameters)."""
@@ -240,7 +252,9 @@ def materialize(
     ).write.mode("overwrite").option("parquet.block.size", 32 << 20).parquet(
         paths["pages"]
     )
-    synth_seeds(spark, sf_dir, n_hosts, n_seeds, mult).write.mode("overwrite").parquet(paths["seeds"])
+    synth_seeds(spark, sf_dir, n_hosts, n_seeds, mult, every=seeds_every).write.mode(
+        "overwrite"
+    ).parquet(paths["seeds"])
     synth_projects(spark).coalesce(1).write.mode("overwrite").parquet(paths["projects"])
     synth_robots(spark).coalesce(1).write.mode("overwrite").parquet(paths["robots"])
     return paths

@@ -1412,8 +1412,75 @@ FROM events GROUP BY 1, 2, 3
 """
 
 
+def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 Structured Streaming gate — the REAL watermarked stream
+    (streaming/ingest.py — A2 windows in append mode) driven with a
+    two-trigger protocol so emission is deterministic and
+    SQL-expressible: split events at max(ts) − 30 min, deliver chunk 1,
+    drain (availableNow), deliver chunk 2, drain. Chunk 2 is strictly
+    newer than chunk 1's watermark, so nothing is late-dropped, and the
+    emitted set after both drains is exactly the tumbling windows whose
+    end the final watermark (max(ts) − 10 min) has passed — which the
+    DuckDB oracle reproduces with a GROUP BY + threshold."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspider_spark.streaming.ingest import stream_window_counts
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    import datetime as dt
+
+    cut = ev.agg(F.max("ts")).collect()[0][0] - dt.timedelta(minutes=30)
+    base = tempfile.mkdtemp(prefix="pyspider_stream_gate_")
+    events_dir = os.path.join(base, "ev")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    try:
+        ev.filter(F.col("ts") <= F.lit(cut)).coalesce(4).write.mode(
+            "append"
+        ).parquet(events_dir)
+        stream_window_counts(spark, events_dir, out, ckpt).awaitTermination(300)
+        ev.filter(F.col("ts") > F.lit(cut)).coalesce(4).write.mode(
+            "append"
+        ).parquet(events_dir)
+        stream_window_counts(spark, events_dir, out, ckpt).awaitTermination(300)
+        rows = (
+            spark.read.parquet(out)
+            .select(
+                F.col("window_start").cast("bigint").alias("window_start"),
+                "event_type",
+                F.col("cnt").cast("bigint").alias("cnt"),
+                "sum_value",
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    # detach from the deleted tmp dir: materialize, then rebuild
+    return spark.createDataFrame(
+        rows, "window_start bigint, event_type string, cnt bigint, sum_value double"
+    )
+
+
+# final watermark = max(ts) − 10 min; append mode emits a window once
+# watermark ≥ window_end (empirically pinned at both sf0.001/sf0.01)
+ORACLE_STREAM_WINDOWS = """
+WITH agg AS (
+  SELECT CAST(floor(epoch(ts) / 300.0) * 300 AS BIGINT) AS window_start,
+         event_type,
+         CAST(count(*) AS BIGINT) AS cnt,
+         round(sum(value), 4) AS sum_value
+  FROM events GROUP BY 1, 2
+)
+SELECT * FROM agg
+WHERE window_start + 300 <= (SELECT epoch(max(ts)) - 600 FROM events)
+"""
+
+
 CUSTOM: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "crawl_window_rollup": (q_window_rollup, ORACLE_WINDOW_ROLLUP),
+    "stream_window_counts": (q_stream_window_counts, ORACLE_STREAM_WINDOWS),
     "crawl_url_canon": (q_url_canon, ORACLE_URL_CANON),
     "dedup_minhash_pairs": (q_dedup_minhash_pairs, ORACLE_DEDUP_PAIRS),
     "dedup_corpus_keep": (q_dedup_corpus, ORACLE_DEDUP_CORPUS),

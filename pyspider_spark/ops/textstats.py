@@ -12,6 +12,7 @@ Deterministic: stdlib crc32 + numpy only (no PYTHONHASHSEED exposure).
 from __future__ import annotations
 
 import re
+from collections import Counter
 from zlib import crc32
 
 import numpy as np
@@ -44,24 +45,31 @@ def analyze_text(text: str) -> tuple[int, str, float, int]:
     n = len(toks)
     if n == 0:
         return 0, "und", 0.0, 0
-    en = sum(t in STOP_EN for t in toks)
-    de = sum(t in STOP_DE for t in toks)
+    # aggregate per UNIQUE token (web text repeats heavily): every
+    # metric below is a pure function of (token, multiplicity), so one
+    # Counter pass replaces per-occurrence Python loops — identical
+    # values, ~10x less Python-level work on real page bodies
+    counts = Counter(toks)
+    en = sum(c for t, c in counts.items() if t in STOP_EN)
+    de = sum(c for t, c in counts.items() if t in STOP_DE)
     if en == 0 and de == 0:
         lang = "und"
     else:
         lang = "en" if en >= de else "de"
     stop_ratio = (en + de) / n
-    punct = sum(c in _PUNCT for c in text)
+    punct = sum(text.count(ch) for ch in _PUNCT)
     punct_density = punct / max(len(text), 1)
-    mean_len = sum(len(t) for t in toks) / n
+    mean_len = sum(len(t) * c for t, c in counts.items()) / n
     len_sanity = 1.0 - min(abs(mean_len - 5.0) / 5.0, 1.0)
     quality = round(
         0.5 * min(stop_ratio * 3.0, 1.0) + 0.2 * min(punct_density * 20.0, 1.0) + 0.3 * len_sanity,
         6,
     )
-    hs = np.fromiter((crc32(t.encode()) for t in toks), dtype=np.uint32, count=n)
-    bits = ((hs[:, None] >> _BITS32) & np.uint32(1)).astype(np.int32)
-    acc = (bits * 2 - 1).sum(axis=0)
+    u = len(counts)
+    hs = np.fromiter((crc32(t.encode()) for t in counts), dtype=np.uint32, count=u)
+    w = np.fromiter(counts.values(), dtype=np.int64, count=u)
+    bits = ((hs[:, None] >> _BITS32) & np.uint32(1)).astype(np.int64)
+    acc = ((bits * 2 - 1) * w[:, None]).sum(axis=0)
     simhash = int(((acc > 0).astype(np.uint32) << _BITS32).sum())
     return n, lang, quality, simhash
 
