@@ -277,12 +277,16 @@ def run_scaling(
     the component that scales with cores everywhere — the dominant
     term, which is exactly the 10^10-design-point proportion (rounds of
     10^7-10^8 URLs)."""
-    results = {}
     repeats = 2  # best-of-N per leg: this box's per-core throughput
     # drifts ±30% run to run (governor/thermal state); min-wall is the
     # standard noise control, and identical round metrics across
-    # repeats double-check determinism
-    for cores in (32, 8):  # 32 first: fixture gen (cached) uses all cores
+    # repeats double-check determinism. Legs are INTERLEAVED
+    # (32,8,32,8) so each parallelism level samples both an early
+    # (cooler) and late (hotter) thermal state — running all 32-legs
+    # first deflated the 8-leg and silently inflated efficiency.
+    ceiling_cold = _machine_cpu_ceiling()  # before legs: coolest state
+
+    def _leg(cores: int) -> dict:
         cmd = [
             sys.executable,
             os.path.abspath(__file__),
@@ -302,18 +306,23 @@ def run_scaling(
             "--host-rate",
             "3000",
         ]
-        runs = []
-        for _rep in range(repeats):
-            p = subprocess.run(cmd, capture_output=True, text=True)
-            if p.returncode != 0:
-                # surface the child's tail before failing — a swallowed
-                # CalledProcessError makes scaling-leg failures undiagnosable
-                sys.stderr.write(f"--- crawl leg local[{cores}] FAILED (rc={p.returncode})\n")
-                sys.stderr.write("".join(p.stdout.splitlines(True)[-20:]))
-                sys.stderr.write("".join(p.stderr.splitlines(True)[-40:]))
-                raise subprocess.CalledProcessError(p.returncode, cmd)
-            line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
-            runs.append(json.loads(line))
+        p = subprocess.run(cmd, capture_output=True, text=True)
+        if p.returncode != 0:
+            # surface the child's tail before failing — a swallowed
+            # CalledProcessError makes scaling-leg failures undiagnosable
+            sys.stderr.write(f"--- crawl leg local[{cores}] FAILED (rc={p.returncode})\n")
+            sys.stderr.write("".join(p.stdout.splitlines(True)[-20:]))
+            sys.stderr.write("".join(p.stderr.splitlines(True)[-40:]))
+            raise subprocess.CalledProcessError(p.returncode, cmd)
+        line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
+        return json.loads(line)
+
+    legs: dict[int, list[dict]] = {8: [], 32: []}
+    for _rep in range(repeats):
+        for cores in (32, 8):  # 32 first: fixture gen (cached) uses all cores
+            legs[cores].append(_leg(cores))
+    results = {}
+    for cores, runs in legs.items():
         counts = [
             [(r["round"], r["scheduled"], r["ok"]) for r in run["crawl"]["rounds"]]
             for run in runs
@@ -327,7 +336,7 @@ def run_scaling(
     u8 = results[8]["crawl"]["steady_urls_per_sec"]
     u32 = results[32]["crawl"]["steady_urls_per_sec"]
     eff = (u32 / u8) / 4 if u8 > 0 else 0.0
-    ceiling = _machine_cpu_ceiling()
+    ceiling = _machine_cpu_ceiling()  # after legs: hottest state
     report = {
         "metric": "crawl scaling efficiency local[8] -> local[32]",
         "unit": "ratio",
@@ -342,11 +351,17 @@ def run_scaling(
         "value": round(eff, 3),
         "speedup": round(u32 / u8, 2) if u8 > 0 else 0.0,
         # pure-CPU 8->32-process scaling of THIS machine (shared memory
-        # bus + frequency scaling cap any single-box measurement); the
+        # bus + frequency scaling cap any single-box measurement),
+        # probed cold (before legs) and hot (after) because the
+        # governor/thermal state moves it 0.5-0.9 run to run; the
         # job's efficiency normalized by it shows whether the JOB itself
         # anti-scales beyond what the hardware imposes
-        "machine_cpu_ceiling": ceiling,
-        "normalized_efficiency": round(eff / ceiling, 3) if ceiling else None,
+        "machine_cpu_ceiling_cold": ceiling_cold,
+        "machine_cpu_ceiling_hot": ceiling,
+        "machine_cpu_ceiling": max(ceiling_cold, ceiling),
+        "normalized_efficiency": round(eff / max(ceiling_cold, ceiling), 3)
+        if max(ceiling_cold, ceiling)
+        else None,
         "legs": {str(c): results[c]["crawl"] for c in (8, 32)},
     }
     print(json.dumps(report))
