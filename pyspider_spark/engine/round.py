@@ -354,6 +354,14 @@ class CrawlEngine:
 
         man = snap.read_manifest()
         state = (man or {}).get("state", {})
+        stored_n = state.get("n_partitions")
+        if stored_n is not None and int(stored_n) != cfg.n_partitions:
+            raise ValueError(
+                f"state was committed with n_partitions={stored_n} but the "
+                f"config says {cfg.n_partitions}; frontier dirs and seen-state "
+                "blobs are bucketed by the committed value — use "
+                "engine.migrate.migrate_partitions to re-bucket"
+            )
         changed = self._load_projects()  # S4 hot-reload (stat-guarded)
         # P6: exception-burst pauses; a project update re-enables
         paused: set[str] = set() if changed else set(state.get("paused", []))
@@ -833,6 +841,7 @@ class CrawlEngine:
                 "blobs": blob_meta,
                 "state": {
                     "cron_count": cron_state,
+                    "n_partitions": cfg.n_partitions,
                     "paused": sorted(paused),
                     "project_buckets": {
                         k: list(v) for k, v in proj_buckets_next.items()
