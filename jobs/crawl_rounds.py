@@ -33,6 +33,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--rate", type=float, default=1.0)
     ap.add_argument("--burst", type=float, default=10.0)
     ap.add_argument("--stop-when-quiet", action="store_true")
+    ap.add_argument(
+        "--migrate-to",
+        type=int,
+        default=None,
+        help="re-bucket the committed state to this partition count "
+        "(engine.migrate) before running rounds; use with --rounds 0 "
+        "for a standalone migration",
+    )
     args = ap.parse_args(argv)
 
     from pyspider_spark.config import RoundConfig
@@ -55,6 +63,10 @@ def main(argv: list[str] | None = None) -> int:
         projects_path=f"{fx}/projects.parquet",
         robots_path=f"{fx}/robots.parquet",
     )
+    if args.migrate_to is not None:
+        from pyspider_spark.engine.migrate import migrate_partitions
+
+        print(json.dumps({"migration": migrate_partitions(eng, args.migrate_to)}))
     seeds = spark.read.parquet(f"{fx}/seeds.parquet")
     metrics = eng.run_rounds(args.rounds, seeds=seeds, stop_when_quiet=args.stop_when_quiet)
     for m in metrics:

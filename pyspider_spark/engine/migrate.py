@@ -7,9 +7,9 @@ and grows 1000x must be able to raise it without losing crawl state
 at a 10^10-URL frontier the partition count IS the unit of touch-only
 rewrites and blob parallelism, so it must scale with the corpus).
 
-This op rewrites the frontier once under the new bucketing (the only
-unavoidable full rewrite), rebuilds every bloom from the frontier keys,
-and starts FRESH (empty) cuckoo shadows. That last step is exact, not
+This op rewrites the frontier and host_state tables once under the
+new bucketing (the only unavoidable full rewrites), rebuilds every
+bloom from the frontier keys, and starts FRESH (empty) cuckoo shadows. That last step is exact, not
 an approximation, by the membership invariants the round engine keeps
 (``seen = bloom(k) AND NOT cuckoo(k)``, engine/seen.py):
 
@@ -79,6 +79,23 @@ def migrate_partitions(engine, new_n: int) -> dict:
         if name.startswith("pid="):
             new_dirs[name.split("=", 1)[1]] = snap.rel(os.path.join(mig_dir, name))
 
+    # --- host_state rewrite under the new bucketing (token-bucket rows
+    # share the frontier's pid layout for touch-only round rewrites)
+    hs_dirs = engine._host_state_dirs(man)
+    hs = engine._read_host_state(man, hs_dirs)
+    hs_mig_dir = os.path.join(snap.round_dir(r), f"host_state_mig{new_n}")
+    (
+        hs.withColumn("pid", pid_col(new_n))
+        .repartition(F.col("pid"))
+        .write.mode("overwrite")
+        .partitionBy("pid")
+        .parquet(hs_mig_dir)
+    )
+    new_hs_dirs: dict[str, str] = {}
+    for name in sorted(os.listdir(hs_mig_dir)):
+        if name.startswith("pid="):
+            new_hs_dirs[name.split("=", 1)[1]] = snap.rel(os.path.join(hs_mig_dir, name))
+
     # --- bloom rebuild from the authoritative key set, sized per pid
     fr_keys = fr.select(
         pid_col(new_n).alias("pid"),
@@ -109,6 +126,7 @@ def migrate_partitions(engine, new_n: int) -> dict:
     man2 = dict(man)
     tables = dict(man.get("tables", {}))
     tables["frontier"] = new_dirs
+    tables["host_state"] = new_hs_dirs
     man2["tables"] = tables
     man2["blobs"] = new_blobs
     state = dict(man.get("state", {}))

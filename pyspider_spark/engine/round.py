@@ -250,6 +250,35 @@ class CrawlEngine:
             return S.empty_df(self.spark, S.FRONTIER_SCHEMA)
         return self.spark.read.schema(S.FRONTIER_SCHEMA).parquet(*paths)
 
+    # ---- partitioned host_state (same MERGE layout as the frontier:
+    # per-host token-bucket rows live in bucket(host) dirs; a round
+    # rewrites only partitions whose hosts scheduled, the rest carry
+    # forward by path — at 10^8+ hosts a full rewrite per round would
+    # be the same scale bug the frontier had) ---------------------------
+    def _host_state_dirs(self, man: dict | None) -> dict[int, str] | None:
+        """pid -> dir map; None = legacy flat layout (pre-partitioned
+        snapshot) — the next write migrates it in place."""
+        t = (man or {}).get("tables", {}).get("host_state")
+        if t is None:
+            return {}
+        if isinstance(t, str):
+            return None
+        return {int(p): rel for p, rel in t.items()}
+
+    def _read_host_state(self, man: dict | None, dirs: dict[int, str] | None, pids=None) -> DataFrame:
+        if dirs is None:  # legacy single-dir layout
+            return self.spark.read.schema(S.HOST_STATE_SCHEMA).parquet(
+                self.snap.abspath(man["tables"]["host_state"])
+            )
+        paths = [
+            self.snap.abspath(rel)
+            for p, rel in dirs.items()
+            if pids is None or p in pids
+        ]
+        if not paths:
+            return S.empty_df(self.spark, S.HOST_STATE_SCHEMA)
+        return self.spark.read.schema(S.HOST_STATE_SCHEMA).parquet(*paths)
+
     # ---- seen-state blobs ------------------------------------------------
     def _load_blobs(self, man: dict | None) -> dict[int, tuple[bytes | None, bytes | None, int]]:
         """Previous-round blob bytes, read DRIVER-side from the store
@@ -368,7 +397,8 @@ class CrawlEngine:
 
         fr_dirs = self._frontier_dirs(man)
         follows = self._read(man, "follows", S.RAW_UPDATE_SCHEMA)
-        host_state = self._read(man, "host_state", S.HOST_STATE_SCHEMA)
+        hs_dirs = self._host_state_dirs(man)
+        host_state = self._read_host_state(man, hs_dirs)
 
         cron_rows, cron_state = self._cron_rows(
             state.get("cron_count", {}), now, paused
@@ -523,7 +553,8 @@ class CrawlEngine:
                 proj_buckets_next[name] = (proj_tok[name] - cnt, now)
         mark("schedule")
 
-        # --- host_state carry-over (only hosts that actually scheduled)
+        # --- host_state carry-over (only hosts that actually scheduled;
+        # merged into the pid-partitioned layout post-settle, below)
         hs_new = (
             sched.filter(F.col("host") != "")
             .groupBy("host")
@@ -532,9 +563,6 @@ class CrawlEngine:
                 F.lit(now).alias("last_ts"),
             )
         )
-        host_state_next = host_state.join(
-            hs_new.select("host"), "host", "left_anti"
-        ).unionByName(hs_new)
 
         # --- fetch + extract (J1, F5/F7)
         fetched = fetch_and_extract(
@@ -710,10 +738,36 @@ class CrawlEngine:
 
         # remaining sinks: cache-served concurrent jobs (fetched and
         # fr2_t are warm now)
+        def _write_host_state_merge() -> dict[str, str]:
+            """Touch-only host_state rewrite (MERGE semantics, same as
+            the frontier): every scheduled row settles in-round, so
+            pids(hs_new) ⊆ settle_pids — rewrite those partitions,
+            carry the rest forward by path. A legacy flat snapshot
+            (hs_dirs None) migrates to the partitioned layout here."""
+            if hs_dirs is None:
+                base, carried = host_state, {}
+            else:
+                carried = {p: rel for p, rel in hs_dirs.items() if p not in settle_pids}
+                base = self._read_host_state(man, hs_dirs, settle_pids)
+            out = base.join(hs_new.select("host"), "host", "left_anti").unionByName(hs_new)
+            d = snap.table_dir(r, "host_state")
+            (
+                out.withColumn("pid", pid_col(cfg.n_partitions))
+                .repartition(F.col("pid"))
+                .write.mode("overwrite")
+                .partitionBy("pid")
+                .parquet(d)
+            )
+            m: dict[int, str] = dict(carried)
+            for name in sorted(os.listdir(d)):
+                if name.startswith("pid="):
+                    m[int(name.split("=", 1)[1])] = snap.rel(os.path.join(d, name))
+            return {str(p): rel for p, rel in sorted(m.items())}
+
         pool = ThreadPoolExecutor(max_workers=3)
         f_follows = pool.submit(self._write, new_follows, r, "follows")
         f_results = pool.submit(self._write, results, r, "results")
-        f_host = pool.submit(self._write, host_state_next, r, "host_state", 1)
+        f_host = pool.submit(_write_host_state_merge)
 
         # --- frontier rewrite: ONLY partitions touched by updates or
         # settles. Untouched dirs carry forward by path (MERGE INTO).

@@ -123,6 +123,16 @@ def test_untouched_partitions_carry_forward(spark, tmp_path, distinct_pid_hosts)
         files = sorted(fn for fn in os.listdir(d) if fn.endswith(".parquet"))
         assert files  # still present on disk (gc-safe: manifest references it)
 
+    # host_state shares the MERGE layout: only the scheduled host's
+    # partition is rewritten, the rest carry forward by path
+    hs0 = dict(man0["tables"]["host_state"])
+    hs1 = dict(man1["tables"]["host_state"])
+    assert hs1[str(tpid)] != hs0[str(tpid)]
+    assert "r000001" in hs1[str(tpid)]
+    for h in hosts[1:]:
+        p = str(partition_of(h, N_PART))
+        assert hs1[p] == hs0[p]
+
 
 def test_pruned_merge_still_correct(spark, tmp_path, distinct_pid_hosts):
     """After the touch-only round, the full frontier still reflects the

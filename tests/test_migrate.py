@@ -87,6 +87,14 @@ def _frontier_rows(eng: CrawlEngine) -> set[tuple]:
     return {tuple(r) for r in eng.frontier().collect()}
 
 
+def _host_rows(eng: CrawlEngine) -> set[tuple]:
+    man = eng.snap.read_manifest()
+    return {
+        tuple(r)
+        for r in eng._read_host_state(man, eng._host_state_dirs(man)).collect()
+    }
+
+
 def _results_rows(eng: CrawlEngine) -> set[tuple]:
     man = eng.snap.read_manifest()
     rels = man["tables"].get("results", [])
@@ -116,6 +124,7 @@ def test_migrated_run_matches_straight_run(spark, tmp_path):
     assert m_a[1]["scheduled"] == len(HOSTS)  # follows really crawled post-migration
     assert _frontier_rows(a) == _frontier_rows(b)
     assert _results_rows(a) == _results_rows(b)
+    assert _host_rows(a) == _host_rows(b)
 
     # n_partitions survives subsequent round commits (lineage is per-round)
     assert a.snap.read_manifest()["state"]["n_partitions"] == 5
