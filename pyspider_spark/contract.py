@@ -1025,6 +1025,83 @@ def q_bloom_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_probe_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/J3 — the ENGINE's full URL-seen membership decision, exactly
+    as a round computes it: ``engine/seen.probe_and_update`` (real
+    bloom+cuckoo kernels in applyInPandas, updated blobs round-tripped
+    between batches as binary rows) followed by the merge-side
+    false-positive resolution (``engine/stages.merge_frontier``: a
+    bloom-seen row with no frontier match is treated as an insert).
+
+    Two batches: (1) insert even-k urls into fresh per-pid blobs;
+    (2) cancel k%20==0 urls, then probe ALL urls against the carried
+    blobs. Expected membership is exact set logic — inserted (k%2=0)
+    minus cancelled (k%20=0) — which the DuckDB oracle states directly.
+    Bloom FPs cannot break this (masked by the membership join, as in
+    merge_frontier); bloom has no false negatives and cancellation is
+    exact by cuckoo semantics, so any kernel/blob-round-trip defect
+    shows up as a hash mismatch."""
+    import pandas as pd  # noqa: F401 (applyInPandas path)
+
+    from pyspider_spark.config import RoundConfig
+    from pyspider_spark.engine.round import pid_col
+    from pyspider_spark.engine.seen import probe_and_update
+
+    cfg = RoundConfig(n_partitions=4)
+    base = _frontier_df(spark, sf_dir).select(
+        "k",
+        "url",
+        "project",
+        F.md5("url").alias("taskid"),
+        F.md5(F.concat_ws("|", "project", "url")).alias("seen_k"),
+        pid_col(cfg.n_partitions).alias("pid"),
+    )
+    cols = ["project", "taskid", "seen_k", "pid"]
+
+    # batch 1: insert the even-k keys into fresh blobs
+    ins1 = base.filter(F.col("k") % 2 == 0)
+    p1 = probe_and_update(
+        ins1.select(*cols).withColumn("cancel", F.lit(False)), {}, cfg
+    )
+    blobs = {
+        int(row["pid"]): (
+            bytes(row["bloom_blob"]),
+            bytes(row["cuckoo_blob"]),
+            int(row["n_keys"]),
+        )
+        for row in p1.filter(F.col("project").isNull()).collect()
+    }
+
+    # batch 2: cancels first (k%20==0 ⊂ inserted), then probe everything
+    upd2 = (
+        base.filter(F.col("k") % 20 == 0)
+        .select(*cols)
+        .withColumn("cancel", F.lit(True))
+        .unionByName(base.select(*cols).withColumn("cancel", F.lit(False)))
+    )
+    p2 = probe_and_update(upd2, blobs, cfg)
+    verdicts = p2.filter(F.col("project").isNotNull() & ~F.col("cancel")).select(
+        "project", "taskid", "seen"
+    )
+    # merge-side FP resolution: seen only counts with a frontier match
+    member = ins1.select("project", "taskid").withColumn("m", F.lit(True))
+    return (
+        verdicts.join(F.broadcast(member), ["project", "taskid"], "left")
+        .join(base.select("k", "url", "project", "taskid"), ["project", "taskid"])
+        .select(
+            "k",
+            "url",
+            (F.col("seen") & F.coalesce(F.col("m"), F.lit(False))).alias("seen"),
+        )
+    )
+
+
+ORACLE_PROBE_VERIFIED = f"""
+WITH {FRONTIER_CTE}
+SELECT k, url, (k % 2 = 0 AND k % 20 <> 0) AS seen FROM frontier
+"""
+
+
 def _mm_docs(spark: SparkSession, mime: str) -> DataFrame:
     """Documents as opaque binary payloads (utf-8 bytes of text), so the
     DuckDB oracle can reproduce the fake decoders with md5(text)."""
@@ -1501,6 +1578,7 @@ CUSTOM: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     "sim_ann_topk": (q_ann_topk, ORACLE_ANN_TOPK),
     "sim_ann_topk_ivf": (q_ann_topk_ivf, None),
     "crawl_bloom_seen": (q_bloom_seen, None),
+    "crawl_probe_verified": (q_probe_verified, ORACLE_PROBE_VERIFIED),
     "mm_decode_features": (q_multimodal_features, ORACLE_MM_FEATURES),
     "mm_resize": (q_multimodal_resize, ORACLE_MM_RESIZE),
     "mm_frame_sample": (q_multimodal_frames, ORACLE_MM_FRAMES),
