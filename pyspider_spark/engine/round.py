@@ -170,12 +170,9 @@ class CrawlEngine:
         self.projects_path = projects_path
         self._proj_stat: tuple | None = None
         self._load_projects()
-        if robots_path:
-            self.robots = spark.read.parquet(robots_path)
-        else:
-            self.robots = spark.createDataFrame(
-                [], "host string, robots_txt string"
-            )
+        self.robots_path = robots_path
+        self._robots_stat: tuple | None = None
+        self._load_robots()
 
     def _pages_stamp(self, pages_path: str) -> str:
         """Identity of the pages source (path + mtime + rows) so a
@@ -187,6 +184,29 @@ class CrawlEngine:
         except OSError:
             mtime, rows = -1.0, -1
         return f"{pages_path}|{mtime}|{rows}"
+
+    def _load_robots(self) -> None:
+        """(Re)read the robots dim when its source changed — the batch
+        analog of the reference fetcher's per-host robots cache with
+        1h expiry (S10, ``fetcher/tornado_fetcher.py — can_fetch()/
+        robots_txt_cache``): rules updated between rounds take effect
+        on the next round, same stat-guard pattern as the projects dim."""
+        if not self.robots_path:
+            if self._robots_stat is None:
+                self.robots = self.spark.createDataFrame(
+                    [], "host string, robots_txt string"
+                )
+                self._robots_stat = ()
+            return
+        try:
+            st = os.stat(self.robots_path)
+            sig = (st.st_mtime_ns, st.st_size)
+        except OSError:
+            sig = None
+        if sig == self._robots_stat:
+            return
+        self._robots_stat = sig
+        self.robots = self.spark.read.parquet(self.robots_path)
 
     def _load_projects(self) -> bool:
         """(Re)read the projects dim — hot-reload analog of
@@ -392,6 +412,7 @@ class CrawlEngine:
                 "engine.migrate.migrate_partitions to re-bucket"
             )
         changed = self._load_projects()  # S4 hot-reload (stat-guarded)
+        self._load_robots()  # S10 robots-cache expiry analog
         # P6: exception-burst pauses; a project update re-enables
         paused: set[str] = set() if changed else set(state.get("paused", []))
 
