@@ -367,6 +367,18 @@ class CrawlEngine:
         dirs = self._frontier_dirs(self.snap.read_manifest())
         return self._read_frontier(dirs, list(dirs))
 
+    def frontier_asof(self, r: int) -> DataFrame:
+        """Time travel (T2/T5 — Iceberg snapshot read analog): the
+        frontier exactly as round `r` committed it, valid while that
+        round's dirs are inside the snapshot GC retention window."""
+        man = self.snap.read_manifest_asof(r)
+        if man is None:
+            raise ValueError(
+                f"round {r} has no retained snapshot (gc'd or never committed)"
+            )
+        dirs = self._frontier_dirs(man)
+        return self._read_frontier(dirs, list(dirs))
+
     # ---- cron (F9) --------------------------------------------------------
     def _cron_rows(
         self, cron_state: dict[str, int], now: float, paused: set[str] = frozenset()
@@ -845,9 +857,11 @@ class CrawlEngine:
         pool.shutdown()
 
         # --- counts from written artifacts (driver-side, no Spark jobs)
-        n_frontier = sum(
-            _parquet_rows(snap.abspath(rel)) for rel in frontier_dirs_new.values()
-        )
+        fr_pid_rows = {
+            p: _parquet_rows(snap.abspath(rel))
+            for p, rel in frontier_dirs_new.items()
+        }
+        n_frontier = sum(fr_pid_rows.values())
         n_ok = kind_counts.get("ok", 0)
         # processor exceptions count as failures (on_task_failed path)
         n_fail = kind_counts.get("fail", 0) + kind_counts.get("err", 0)
@@ -933,6 +947,9 @@ class CrawlEngine:
                         "robots_blocked": n_blocked,
                         "new_urls": n_new,
                         "frontier": n_frontier,
+                        # migration signal: when the largest partition
+                        # outgrows the design point, run migrate_partitions
+                        "frontier_pid_max": max(fr_pid_rows.values(), default=0),
                     },
                 },
             }

@@ -44,13 +44,28 @@ class SnapshotStore:
             return json.load(f)
 
     def commit(self, manifest: dict) -> None:
-        """Atomic: write tmp then rename over the live manifest."""
+        """Atomic: write tmp then rename over the live manifest. A copy
+        lands in the round's own dir as snapshot history — the Iceberg
+        time-travel analog: any round still inside the GC retention
+        window can be read as-of via :meth:`read_manifest_asof`."""
         manifest = dict(manifest)
         manifest["committed_at"] = time.time()
         tmp = self.manifest_path() + ".tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1, sort_keys=True)
+        if "round" in manifest:
+            hist = os.path.join(self.round_dir(int(manifest["round"])), self.MANIFEST)
+            shutil.copyfile(tmp, hist)
         os.replace(tmp, self.manifest_path())
+
+    def read_manifest_asof(self, r: int) -> dict | None:
+        """The manifest as committed at round `r` (None once gc'd) —
+        read any table of that snapshot through its `tables` paths."""
+        p = os.path.join(self.root, "rounds", f"r{r:06d}", self.MANIFEST)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
 
     # ---- paths ----------------------------------------------------------
     def round_dir(self, r: int) -> str:

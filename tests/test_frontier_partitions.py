@@ -164,3 +164,38 @@ def test_pruned_merge_still_correct(spark, tmp_path, distinct_pid_hosts):
     assert fr[hosts[0]]["lastcrawltime"] == cfg.now(1)
     for h in hosts[1:]:
         assert fr[h]["lastcrawltime"] == cfg.now(0)
+
+
+def test_frontier_asof_time_travel(spark, tmp_path, distinct_pid_hosts):
+    """frontier_asof(r) reads the snapshot round r committed (Iceberg
+    time-travel analog) even after later rounds rewrote partitions."""
+    hosts = distinct_pid_hosts
+    paths, urls = _mk_fixtures(tmp_path, hosts)
+    cfg = RoundConfig(n_partitions=N_PART, respect_robots=False)
+    eng = CrawlEngine(
+        spark,
+        str(tmp_path / "state_asof"),
+        cfg,
+        pages_path=paths["pages"],
+        projects_path=paths["projects"],
+    )
+    seeds = spark.createDataFrame(
+        [(u, "test_project") for u in urls], "url string, project string"
+    )
+    eng.run_rounds(1, seeds=seeds)
+    target = hosts[0]
+    inj = spark.createDataFrame(
+        [(f"http://{target}/p/0", "test_project", True)],
+        "url string, project string, force_update boolean",
+    )
+    eng.run_rounds(1, inject_at={1: inj})
+
+    now_cur = {r["host"]: r["lastcrawltime"] for r in eng.frontier().collect()}
+    assert now_cur[target] == cfg.now(1)  # re-crawled in round 1
+    now_r0 = {r["host"]: r["lastcrawltime"] for r in eng.frontier_asof(0).collect()}
+    assert now_r0[target] == cfg.now(0)  # as-of round 0: original crawl
+    assert set(now_r0) == set(now_cur)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no retained snapshot"):
+        eng.frontier_asof(99)

@@ -43,3 +43,18 @@ def test_gc_noop_without_manifest(tmp_path):
     snap.round_dir(0)
     snap.gc()
     assert os.path.isdir(os.path.join(str(tmp_path), "rounds", "r000000"))
+
+def test_manifest_history_asof(tmp_path):
+    """commit() drops a manifest copy into the round dir; as-of reads
+    return the snapshot of that round until its dir is gc'd."""
+    snap = SnapshotStore(str(tmp_path))
+    for r in range(3):
+        _touch(os.path.join(snap.table_dir(r, "frontier"), "part-0.parquet"))
+        snap.commit({"round": r, "tables": {"frontier": f"rounds/r{r:06d}/frontier"}})
+    assert snap.read_manifest()["round"] == 2
+    m1 = snap.read_manifest_asof(1)
+    assert m1["round"] == 1
+    assert m1["tables"]["frontier"] == "rounds/r000001/frontier"
+    snap.gc(keep_rounds=1)
+    assert snap.read_manifest_asof(0) is None  # outside retention
+    assert snap.read_manifest_asof(2)["round"] == 2
