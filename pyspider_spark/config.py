@@ -53,6 +53,13 @@ class RoundConfig:
     # would be dead code here; crash-mid-round safety comes from the
     # atomic manifest commit instead (tests/test_resume.py).
     n_partitions: int = 8  # bucket(host) partition count for seen-state + frontier layout
+    # partition growth policy: when the largest frontier partition
+    # exceeds this row count after a round, the engine doubles
+    # n_partitions via migrate_partitions (touch-only rewrites and blob
+    # parallelism track corpus growth without operator action); None
+    # disables auto-split — lineage still reports frontier_pid_max as
+    # the manual signal.
+    max_rows_per_partition: int | None = None
     # bloom sizing policy: m/k derived from expected keys per partition
     # and a target false-positive rate (see kernels.bloom.bloom_params);
     # partitions whose inserted-key count exceeds `bloom_expected_keys`

@@ -966,6 +966,7 @@ class CrawlEngine:
             "robots_blocked": n_blocked,
             "new_urls": n_new,
             "frontier": n_frontier,
+            "frontier_pid_max": max(fr_pid_rows.values(), default=0),
             "wall_s": wall,
         }
 
@@ -993,6 +994,19 @@ class CrawlEngine:
         for r in range(start, start + rounds):
             m = self.run_round(r, inject_at.get(r))
             out.append(m)
+            # auto-split: when the largest frontier partition outgrows the
+            # configured bound, double the bucket count between rounds so
+            # touch-only rewrite granularity and blob parallelism track
+            # corpus growth (the Iceberg analog is a partition-spec
+            # evolution; here it is the same driver-side admin op an
+            # operator would run on the frontier_pid_max lineage signal).
+            cap = self.cfg.max_rows_per_partition
+            if cap is not None and m["frontier_pid_max"] > cap:
+                from pyspider_spark.engine.migrate import migrate_partitions
+
+                m["migration"] = migrate_partitions(
+                    self, 2 * self.cfg.n_partitions
+                )
             if stop_when_quiet and m["scheduled"] == 0 and m["new_urls"] == 0:
                 break
         return out

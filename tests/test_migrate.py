@@ -178,6 +178,39 @@ def test_mismatched_config_is_refused(spark, tmp_path):
         stale.run_rounds(1)
 
 
+def test_auto_split_on_partition_growth(spark, tmp_path):
+    """max_rows_per_partition wires the frontier_pid_max lineage signal
+    to migrate_partitions automatically: a capped run doubles its bucket
+    count mid-crawl yet stays semantically identical to a straight run."""
+    paths = _mk_fixtures(tmp_path)
+
+    cfg = RoundConfig(
+        n_partitions=2, respect_robots=False, max_rows_per_partition=3
+    )
+    a = CrawlEngine(
+        spark,
+        str(tmp_path / "state_auto"),
+        cfg,
+        pages_path=paths["pages"],
+        projects_path=paths["projects"],
+    )
+    m_a = a.run_rounds(3, seeds=_seeds(spark))
+
+    b = _engine(spark, tmp_path, paths, "state_straight", n_partitions=2)
+    m_b = b.run_rounds(3, seeds=_seeds(spark))
+
+    # the cap tripped at least once: 6 hosts over 2 buckets exceeds 3 rows
+    splits = [m["migration"] for m in m_a if "migration" in m]
+    assert splits and all(s["changed"] for s in splits)
+    assert a.cfg.n_partitions > 2
+    assert a.snap.read_manifest()["state"]["n_partitions"] == a.cfg.n_partitions
+
+    assert _sem(m_a) == _sem(m_b)
+    assert _frontier_rows(a) == _frontier_rows(b)
+    assert _results_rows(a) == _results_rows(b)
+    assert _host_rows(a) == _host_rows(b)
+
+
 def test_same_count_is_noop(spark, tmp_path):
     paths = _mk_fixtures(tmp_path)
     eng = _engine(spark, tmp_path, paths, "state_noop", n_partitions=2)
