@@ -181,9 +181,12 @@ def fetch_and_extract(
     Per round: one full payload scan + one key-column scan, zero
     corpus-side shuffle (neither payloads nor keys), and one
     schedule-sized rebalance exchange feeding extraction. At 100 TB
-    with multi-GB schedules the same property comes from bucketing the
-    Iceberg pages table by canon_url and repartitioning only the
-    schedule into those buckets.
+    with multi-GB schedules the same property comes from the BUCKETED
+    pages layout (engine/ingest.py): pages_canon read as a table
+    bucketed by canon_url makes the `else` branch below co-locate —
+    Catalyst plans both the inner and the anti join with zero Exchange
+    on the corpus side; only the schedule shuffles into the corpus's
+    bucketing (pinned by tests/test_bucketed_pages.py).
 
     Broadcast guard (ADVICE r1): the hint is only applied when the
     schedule size is *provably* bounded — `sched_rows` (exact, from the

@@ -145,7 +145,15 @@ class CrawlEngine:
         # pruning, no executor-memory pressure from html blobs).
         # Production analog: canon_url is a stored column of the Iceberg
         # pages table, bucketed on it, written once at ingest.
-        if cfg.pages_precanonical:
+        from pyspider_spark.engine.ingest import is_bucketed, register_pages
+
+        if is_bucketed(pages_path):
+            # ingest.ingest_pages already wrote the canon-keyed BUCKETED
+            # layout — register it so every fetch join co-locates on
+            # canon_url (zero corpus-side exchange even past the
+            # broadcast bound; see engine/ingest.py)
+            self.pages_canon = register_pages(spark, pages_path)
+        elif cfg.pages_precanonical:
             # ingest already wrote canonical urls — read pristine parquet
             self.pages_canon = (
                 spark.read.parquet(pages_path)
