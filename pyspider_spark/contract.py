@@ -853,6 +853,55 @@ SELECT * FROM hits UNION ALL SELECT * FROM misses
 """
 
 
+def q_fetch_extract_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics as ``crawl_fetch_extract`` but through the
+    PAST-BROADCAST-BOUND path: the pages side goes through
+    ``engine.ingest.ingest_pages``'s canon_url-bucketed layout and the
+    broadcast bound is forced to 0, so what the oracle checks is the
+    co-located sort-merge fetch join (zero corpus-side Exchange) the
+    engine plans at 100 TB schedule sizes."""
+    import tempfile
+
+    from pyspider_spark.config import RoundConfig
+    from pyspider_spark.engine.fetchx import fetch_and_extract
+    from pyspider_spark.engine.ingest import ingest_pages, register_pages
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    url = F.concat(F.lit("http://docs.example/d/"), F.col("doc_id"))
+    n_anchor = (F.col("doc_id") % 3).cast("int")
+    html = F.encode(
+        F.concat(
+            F.lit("<html><body><p>"),
+            F.col("text"),
+            F.lit("</p>"),
+            F.repeat(F.lit('<a href="/l/0">x</a>'), n_anchor),
+            F.lit("</body></html>"),
+        ),
+        "utf-8",
+    )
+    tmp = tempfile.mkdtemp(prefix="gate_pages_b_")
+    raw = f"{tmp}/raw"
+    docs.select(url.alias("url"), html.alias("html")).write.mode("overwrite").parquet(raw)
+    loc = ingest_pages(spark, raw, f"{tmp}/bucketed", n_buckets=4, precanonical=True)
+    pages = register_pages(spark, loc)
+    hits = docs.select(F.col("doc_id").alias("k"), url.alias("url"))
+    misses = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("k"),
+        F.concat(F.lit("http://docs.example/m/"), F.col("doc_id")).alias("url"),
+    )
+    sched = _sched_cols(hits.unionByName(misses))
+    out = fetch_and_extract(
+        sched, pages, RoundConfig(n_partitions=4, fetch_broadcast_max_rows=0)
+    )
+    return out.select(
+        "k",
+        "code",
+        F.coalesce(F.length("text"), F.lit(0)).alias("text_len"),
+        F.coalesce(F.size("links"), F.lit(0)).alias("n_links"),
+    )
+
+
 def q_data_url_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8/F12 — data: payload decode through the REAL fetch path: each
     document travels as a base64 data: url, the fetch join short-
@@ -1572,6 +1621,7 @@ CUSTOM: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
         ORACLE_SCHEDULE_MULTIPROJECT,
     ),
     "crawl_fetch_extract": (q_fetch_extract, ORACLE_FETCH_EXTRACT),
+    "crawl_fetch_extract_bucketed": (q_fetch_extract_bucketed, ORACLE_FETCH_EXTRACT),
     "crawl_data_url_fetch": (q_data_url_fetch, ORACLE_DATA_URL_FETCH),
     "crawl_merge_frontier": (q_merge_frontier, ORACLE_MERGE_FRONTIER),
     "dedup_simhash_pairs": (q_simhash_near_dup, ORACLE_SIMHASH_PAIRS),
