@@ -147,14 +147,35 @@ def run_crawl(
     rounds: int = CRAWL_ROUNDS,
     mult: int = 1,
     host_rate: float | None = None,
+    bucketed: bool = False,
 ) -> dict:
     """Fresh-state crawl of `rounds` rounds; returns wall + URL totals.
     ``host_rate`` overrides the per-host token rate/burst — the dense
     scaling bench uses it to bound round size INSIDE the salted
     politeness pass (scales with cores) instead of a global TakeOrdered
-    budget cut (single-reducer at 10^6-row budgets)."""
+    budget cut (single-reducer at 10^6-row budgets). ``bucketed``
+    ingests the pages table into the canon_url-bucketed layout (once,
+    cached beside the fixture) and forces the broadcast bound to zero —
+    measuring the co-located sort-merge fetch path the engine plans
+    past broadcastable schedule sizes (engine/ingest.py)."""
     from pyspider_spark.config import RoundConfig
     from pyspider_spark.engine.round import CrawlEngine
+
+    pages_path = os.path.join(fixtures_dir, "pages.parquet")
+    cfg_kw: dict = {}
+    if bucketed:
+        from pyspider_spark.engine.ingest import ingest_pages, is_bucketed
+
+        bloc = os.path.join(fixtures_dir, "pages_bucketed")
+        if not is_bucketed(bloc):
+            t0 = time.time()
+            ingest_pages(spark, pages_path, bloc, n_buckets=64, precanonical=True)
+            print(
+                json.dumps({"ingest_bucketed_s": round(time.time() - t0, 1)}),
+                file=sys.stderr,
+            )
+        pages_path = bloc
+        cfg_kw["fetch_broadcast_max_rows"] = 0
 
     state = os.path.join(fixtures_dir, f"state_{os.getpid()}")
     shutil.rmtree(state, ignore_errors=True)
@@ -165,12 +186,13 @@ def run_crawl(
         round_budget=None,
         analyze=True,  # per-page analysis is part of the measured pipeline
         pages_precanonical=True,  # webgen emits canonical urls (ingest-time column)
+        **cfg_kw,
     )
     eng = CrawlEngine(
         spark,
         state,
         cfg,
-        pages_path=os.path.join(fixtures_dir, "pages.parquet"),
+        pages_path=pages_path,
         projects_path=os.path.join(fixtures_dir, "projects.parquet"),
         robots_path=os.path.join(fixtures_dir, "robots.parquet"),
     )
@@ -217,6 +239,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--seeds-div", type=int, default=30, help="round density: seeds = keys/seeds_div")
     ap.add_argument("--host-rate", type=float, default=None, help="per-host token rate/burst override")
     ap.add_argument("--scaling", action="store_true", help="run crawl at local[8] and local[32], report efficiency")
+    ap.add_argument(
+        "--bucketed",
+        action="store_true",
+        help="crawl against the canon_url-bucketed pages layout with the "
+        "broadcast bound forced to 0 (co-located fetch join)",
+    )
     args = ap.parse_args(argv)
 
     if args.scaling:
@@ -248,7 +276,12 @@ def main(argv: list[str] | None = None) -> int:
             seeds_div=args.seeds_div,
         )
         crawl = run_crawl(
-            spark, fx, rounds=args.rounds, mult=args.pages_mult, host_rate=args.host_rate
+            spark,
+            fx,
+            rounds=args.rounds,
+            mult=args.pages_mult,
+            host_rate=args.host_rate,
+            bucketed=args.bucketed,
         )
         out["queries"]["crawl_rounds"] = crawl["wall_s"]
         out["crawl"] = crawl
