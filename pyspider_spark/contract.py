@@ -1589,6 +1589,74 @@ def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_seen_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 stateful-streaming gate — the REAL applyInPandasWithState
+    URL-seen bloom gate (streaming/frontier.py) driven two triggers
+    over one checkpoint: batch 1 delivers the even-doc_id urls, batch 2
+    delivers ALL urls. Evens are then bloom-resident in the state
+    store, so batch 2 must emit exactly the odds — i.e. every key
+    emits once, tagged with its first-occurrence batch, which the
+    DuckDB oracle states in closed form. (Bloom FPs would fail this
+    check loudly; at this key count the sized filter's FPR is ~0.)"""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspider_spark.streaming.frontier import (
+        read_urls_stream,
+        run_stream,
+        seen_filter_stream,
+    )
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id")
+    url = F.concat(
+        F.lit("http://h"),
+        (F.col("doc_id") % 17).cast("string"),
+        F.lit(".example/d/"),
+        F.col("doc_id").cast("string"),
+    )
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 17).cast("string"), F.lit(".example"))
+
+    def urls(df, batch: float):
+        return df.select(
+            url.alias("url"),
+            url.alias("canon_url"),
+            host.alias("host"),
+            F.lit("p0").alias("project"),
+            F.lit(0).alias("priority"),
+            F.lit(batch).alias("ts"),
+        )
+
+    base = tempfile.mkdtemp(prefix="pyspider_seen_gate_")
+    src = os.path.join(base, "urls")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    try:
+        urls(docs.filter(F.col("doc_id") % 2 == 0), 1.0).coalesce(4).write.mode(
+            "append"
+        ).parquet(src)
+        run_stream(seen_filter_stream(read_urls_stream(spark, src)), out, ckpt)
+        urls(docs, 2.0).coalesce(4).write.mode("append").parquet(src)
+        run_stream(seen_filter_stream(read_urls_stream(spark, src)), out, ckpt)
+        rows = (
+            spark.read.parquet(out)
+            .select("canon_url", F.col("ts").cast("int").alias("batch"))
+            .collect()
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, "canon_url string, batch int")
+
+
+ORACLE_STREAM_SEEN = """
+SELECT 'http://h' || CAST(doc_id % 17 AS VARCHAR) || '.example/d/'
+         || CAST(doc_id AS VARCHAR) AS canon_url,
+       CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS batch
+FROM documents
+"""
+
+
 # final watermark = max(ts) − 10 min; append mode emits a window once
 # watermark ≥ window_end (empirically pinned at both sf0.001/sf0.01)
 ORACLE_STREAM_WINDOWS = """
@@ -1607,6 +1675,7 @@ WHERE window_start + 300 <= (SELECT epoch(max(ts)) - 600 FROM events)
 CUSTOM: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "crawl_window_rollup": (q_window_rollup, ORACLE_WINDOW_ROLLUP),
     "stream_window_counts": (q_stream_window_counts, ORACLE_STREAM_WINDOWS),
+    "stream_seen_filter": (q_stream_seen_filter, ORACLE_STREAM_SEEN),
     "crawl_url_canon": (q_url_canon, ORACLE_URL_CANON),
     "dedup_minhash_pairs": (q_dedup_minhash_pairs, ORACLE_DEDUP_PAIRS),
     "dedup_corpus_keep": (q_dedup_corpus, ORACLE_DEDUP_CORPUS),
