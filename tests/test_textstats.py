@@ -75,3 +75,70 @@ def test_engine_analyze_mode(spark, smoke_fixtures, tmp_path):
             assert abs(res["quality"] - q) < 1e-6
             checked += 1
     assert checked > 0
+
+def _analyze_reference(text: str) -> tuple[int, str, float, int]:
+    """The pre-fast-path regex algorithm, kept verbatim as the parity
+    reference for the ASCII bytes tokenizer."""
+    import numpy as np
+    from collections import Counter
+    from zlib import crc32
+
+    from pyspider_spark.ops.textstats import (
+        _BITS32,
+        _PUNCT,
+        _TOKEN_RE,
+        STOP_DE,
+        STOP_EN,
+    )
+
+    if not text:
+        return 0, "und", 0.0, 0
+    toks = _TOKEN_RE.findall(text.lower())
+    n = len(toks)
+    if n == 0:
+        return 0, "und", 0.0, 0
+    counts = Counter(toks)
+    en = sum(c for t, c in counts.items() if t in STOP_EN)
+    de = sum(c for t, c in counts.items() if t in STOP_DE)
+    lang = "und" if en == 0 and de == 0 else ("en" if en >= de else "de")
+    stop_ratio = (en + de) / n
+    punct = sum(text.count(ch) for ch in _PUNCT)
+    punct_density = punct / max(len(text), 1)
+    mean_len = sum(len(t) * c for t, c in counts.items()) / n
+    len_sanity = 1.0 - min(abs(mean_len - 5.0) / 5.0, 1.0)
+    quality = round(
+        0.5 * min(stop_ratio * 3.0, 1.0)
+        + 0.2 * min(punct_density * 20.0, 1.0)
+        + 0.3 * len_sanity,
+        6,
+    )
+    u = len(counts)
+    hs = np.fromiter((crc32(t.encode()) for t in counts), dtype=np.uint32, count=u)
+    w = np.fromiter(counts.values(), dtype=np.int64, count=u)
+    bits = ((hs[:, None] >> _BITS32) & np.uint32(1)).astype(np.int64)
+    acc = ((bits * 2 - 1) * w[:, None]).sum(axis=0)
+    simhash = int(((acc > 0).astype(np.uint32) << _BITS32).sum())
+    return n, lang, quality, simhash
+
+
+def test_ascii_fast_path_parity():
+    import random
+    import string
+
+    rng = random.Random(73)
+    samples = [
+        "",
+        "   ",
+        "...!!!",
+        "the quick brown fox. der hund und die katze!",
+        "a" * 5000,
+        "x0 y1 z2 " * 400,
+    ]
+    for _ in range(500):
+        samples.append(
+            "".join(rng.choice(string.printable) for _ in range(rng.randint(0, 300)))
+        )
+    # non-ascii must take the regex path and still work
+    samples += ["héllo wörld the of", "日本語テキスト the and to", "naïve café. the!"]
+    for s in samples:
+        assert analyze_text(s) == _analyze_reference(s), repr(s)
