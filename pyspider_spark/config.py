@@ -67,7 +67,9 @@ class RoundConfig:
     # key set) at the start of the next round.
     bloom_expected_keys: int = 100_000  # design capacity per partition
     bloom_target_fpr: float = 1e-3
-    bloom_seed: int = 42
+    # no bloom seed knob: the k probe positions are sliced from the md5
+    # taskid itself (kernels/bloom.py _hash_pair), deterministic by
+    # construction with nothing to configure.
     cuckoo_buckets: int = 1 << 14  # per-partition cuckoo filter buckets
     # host-keyed salting for hot-domain skew is unconditional: the
     # two-phase pre-rank is a strict improvement for hot hosts and
