@@ -60,6 +60,21 @@ class RoundConfig:
     # disables auto-split — lineage still reports frontier_pid_max as
     # the manual signal.
     max_rows_per_partition: int | None = None
+    # --- frontier merge-on-read layout (Iceberg MoR analog) ---------
+    # A round appends one small delta file per touched partition
+    # (changed rows only: inserts, P4 restarts, settles, cancel
+    # tombstones) instead of rewriting partition bases; reads resolve
+    # base ⊖ delta-keys ⊕ latest-delta. Compaction folds a partition's
+    # deltas into a new base when accumulated delta rows exceed
+    # `frontier_compact_frac` × live rows (0 ⇒ compact every round =
+    # copy-on-write behavior), when a partition accumulates
+    # `frontier_max_delta_dirs` delta files (read-amplification bound),
+    # or when TOTAL outstanding delta rows exceed
+    # `frontier_delta_max_keys` — the invariant that keeps the
+    # resolution anti-join's broadcast side provably small.
+    frontier_compact_frac: float = 0.2
+    frontier_max_delta_dirs: int = 16
+    frontier_delta_max_keys: int = 2_000_000
     # bloom sizing policy: m/k derived from expected keys per partition
     # and a target false-positive rate (see kernels.bloom.bloom_params);
     # partitions whose inserted-key count exceeds `bloom_expected_keys`

@@ -134,6 +134,11 @@ def migrate_partitions(engine, new_n: int) -> dict:
     man2["state"] = state
     lineage = dict(man.get("lineage", {}))
     lineage["migration"] = {"from": old_n, "to": new_n, "round": r}
+    # refresh MoR live-row lineage under the NEW bucketing (the old
+    # per-pid counts are meaningless after re-bucketing); the rewrite
+    # folded every delta into fresh bases, so outstanding deltas = 0
+    lineage["frontier_pid_rows"] = {str(p): n for p, n in sorted(counts.items())}
+    lineage.pop("frontier_delta_rows", None)
     man2["lineage"] = lineage
     snap.commit(man2)
 

@@ -13,15 +13,18 @@ DataFrame stages:
     → fetch join (J1) [broadcast/AQE canon_url] → extract (Arrow UDF)
     → settle + follows → atomic snapshot commit
 
-Frontier layout (Iceberg ``MERGE INTO`` semantics, SURVEY §2.1 S3):
-the frontier is stored as one parquet directory per ``pid =
-bucket(host)`` partition. A round only reads the partitions named by
-its updates for the merge join, and only REWRITES partitions actually
-touched (updates ∪ cancels ∪ settles); untouched partition directories
-are carried forward by path in the manifest. At a 10^10-row frontier a
-budgeted round therefore costs O(touched partitions), not O(frontier)
+Frontier layout (Iceberg ``MERGE INTO`` with merge-on-read semantics,
+SURVEY §2.1 S3; engine/frontier.py): each ``pid = bucket(host)``
+partition is base parquet files plus an ordered list of per-round
+delta files. A round computes only its CHANGED rows (inserts, P4
+restarts, settles, cancel tombstones) and appends them as one small
+delta dir; base files are never rewritten in the round path —
+compaction folds deltas into fresh bases on the thresholds in
+RoundConfig. At a 10^10-row frontier a budgeted round therefore
+writes O(changed rows) + amortized O(frontier/compaction-period)
 — the candidates scan still covers all partitions but is a pruned
-columnar read (status/exetime pushdown), never a rewrite.
+columnar read (status/exetime pushdown + a broadcast anti probe
+against the outstanding delta keys), never a rewrite.
 
 Cross-round state lives only in the snapshot store ⇒ exact resume: a
 crash mid-round leaves the previous manifest; re-running the round is
@@ -39,6 +42,7 @@ from pyspark.storagelevel import StorageLevel
 
 from pyspider_spark.config import ACTIVE, BAD, FAILED, SUCCESS, RoundConfig
 from pyspider_spark.engine import schema as S
+from pyspider_spark.engine import frontier as FR
 from pyspider_spark.engine.fetchx import fetch_and_extract, prepare_pages
 from pyspider_spark.engine.politeness import schedule_round
 from pyspider_spark.engine.seen import probe_and_update, rebuild_blooms
@@ -48,7 +52,7 @@ from pyspider_spark.engine.stages import (
     order_cols,
     collapse_updates,
     ensure_raw_columns,
-    merge_frontier,
+    merge_frontier_delta,
     normalize_updates,
 )
 
@@ -267,16 +271,16 @@ class CrawlEngine:
         pq.write_table(t, os.path.join(path, "part-00000.parquet"))
         return self.snap.rel(path)
 
-    # ---- partitioned frontier -------------------------------------------
-    def _frontier_dirs(self, man: dict | None) -> dict[int, str]:
-        t = (man or {}).get("tables", {}).get("frontier") or {}
-        return {int(p): rel for p, rel in t.items()}
+    # ---- partitioned frontier (merge-on-read; engine/frontier.py) -------
+    def _frontier_dirs(self, man: dict | None) -> dict[int, dict]:
+        """pid -> {"base": rel|None, "deltas": [rel, ...]} (legacy bare
+        string entries normalize to base-only)."""
+        return FR.entries_of(man)
 
-    def _read_frontier(self, dirs: dict[int, str], pids) -> DataFrame:
-        paths = [self.snap.abspath(dirs[p]) for p in pids if p in dirs]
-        if not paths:
-            return S.empty_df(self.spark, S.FRONTIER_SCHEMA)
-        return self.spark.read.schema(S.FRONTIER_SCHEMA).parquet(*paths)
+    def _read_frontier(self, dirs: dict[int, dict], pids) -> DataFrame:
+        """MoR-resolved live rows of `pids` (base ⊖ delta-keys ⊕
+        latest-delta; tombstones filtered)."""
+        return FR.read_resolved(self.spark, self.snap, dirs, pids)
 
     # ---- partitioned host_state (same MERGE layout as the frontier:
     # per-host token-bucket rows live in bucket(host) dirs; a round
@@ -512,17 +516,44 @@ class CrawlEngine:
         probe_df = spark.read.parquet(probe_abs).filter(F.col("taskid").isNotNull())
         mark("normalize_probe")
 
-        # --- merge (steps 0-1) over TOUCHED partitions only: the big
-        # frontier-side join reads just the partition dirs named by this
-        # round's updates; everything else is carried forward by path.
-        fr_t = self._read_frontier(fr_dirs, touched_u)
-        fr1_t = fr_t.join(cancels.select(*KEY), KEY, "left_anti")
-        fr2_t = merge_frontier(
-            fr1_t, upd, probe_df.filter(~F.col("cancel")), now, r, cfg
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        untouched = [p for p in fr_dirs if p not in set(touched_u)]
-        fr_u = self._read_frontier(fr_dirs, untouched)
-        fr2 = fr2_t.unionByName(fr_u)
+        # --- merge (steps 0-1), merge-on-read: compute only the rows
+        # this round CHANGES (inserts, bloom-FP inserts, P4 restarts) —
+        # the frontier scan over the update-touched partitions is only
+        # streamed against the broadcast update batch, never rewritten.
+        fr_res_t = self._read_frontier(fr_dirs, touched_u)
+        if had_cancels:
+            fr_res_t = fr_res_t.join(
+                F.broadcast(cancels.select(*KEY)), KEY, "left_anti"
+            )
+        merge_out = merge_frontier_delta(
+            fr_res_t, upd, probe_df.filter(~F.col("cancel")), now, r, cfg
+        )
+        # Materialize the merge output as a staging table and read it
+        # back (same idiom as the probe table) instead of persist():
+        # every downstream consumer — fr2/candidates→schedule, the
+        # settle view, the final delta write — then plans against a
+        # leaf parquet scan instead of re-embedding the MoR-resolve +
+        # three-branch merge tree (a cached frame keeps its FULL
+        # analyzed plan in every referencing query; the composed round
+        # plan was measured at multi-GB of transient Catalyst nodes and
+        # OOMed a 4 g driver at smoke scale). Changed rows only ⇒ the
+        # write is schedule-bound, and unlike localCheckpoint it
+        # survives executor loss on a real cluster.
+        merge_abs = snap.abspath(self._write(merge_out, r, "merge"))
+        mdelta = spark.read.schema(S.FRONTIER_MERGE_SCHEMA).parquet(merge_abs)
+        mark("merge")
+        fr_cols = FR.FR_COLS
+        # post-merge view = resolved frontier ⊖ (changed ∪ cancelled
+        # keys) ⊕ changed rows; the anti side is schedule-bound ⇒
+        # broadcast, the big scan stays map-side
+        anti_keys = mdelta.select(*KEY)
+        if had_cancels:
+            anti_keys = anti_keys.unionByName(cancels.select(*KEY))
+        fr2 = (
+            self._read_frontier(fr_dirs, list(fr_dirs))
+            .join(F.broadcast(anti_keys), KEY, "left_anti")
+            .unionByName(mdelta.select(*fr_cols))
+        )
 
         # --- candidates (P2/P3/P6): full scan with status/exetime
         # pushdown (pruned columnar read — no rewrite implied)
@@ -778,7 +809,7 @@ class CrawlEngine:
         mark("fetch_settle")
 
         # remaining sinks: cache-served concurrent jobs (fetched and
-        # fr2_t are warm now)
+        # mdelta are warm now)
         def _write_host_state_merge() -> dict[str, str]:
             """Touch-only host_state rewrite (MERGE semantics, same as
             the frontier): every scheduled row settles in-round, so
@@ -810,19 +841,30 @@ class CrawlEngine:
         f_results = pool.submit(self._write, results, r, "results")
         f_host = pool.submit(_write_host_state_merge)
 
-        # --- frontier rewrite: ONLY partitions touched by updates or
-        # settles. Untouched dirs carry forward by path (MERGE INTO).
+        # --- frontier delta write (merge-on-read): ONE small delta dir
+        # holding only this round's changed rows — post-merge full rows
+        # for settled keys, merge output for unsettled changed keys,
+        # tombstones for cancels. Base files are NEVER rewritten here;
+        # compaction below folds deltas on the RoundConfig thresholds.
         touched_all = sorted(set(touched_u) | settle_pids)
-        extra_pids = [p for p in touched_all if p not in set(touched_u)]
-        need_fr = fr2_t.unionByName(self._read_frontier(fr_dirs, extra_pids))
-        fr_final = (
-            need_fr.alias("o")
-            .join(settle.drop("pid").alias("s"), KEY, "left")
+        # full post-merge rows for the settled keys: the settle-touched
+        # partitions' resolved view ⊕ merge delta, streamed against the
+        # broadcast settle batch (every settle key is in this view —
+        # sched ⊂ cands ⊂ fr2)
+        view_sp = (
+            self._read_frontier(fr_dirs, sorted(settle_pids))
+            .join(F.broadcast(anti_keys), KEY, "left_anti")
+            .withColumn("is_new", F.lit(False))
+            .unionByName(mdelta.select(*fr_cols, "is_new"))
+        )
+        settle_full = (
+            view_sp.alias("o")
+            .join(F.broadcast(settle.drop("pid")).alias("s"), KEY, "inner")
             .select(
                 *KEY,
                 *[
                     F.col(f"o.{c}").alias(c)
-                    for c in need_fr.columns
+                    for c in fr_cols
                     if c
                     not in (*KEY, "status", "exetime", "retries_left", "lastcrawltime", "updatetime")
                 ],
@@ -830,26 +872,95 @@ class CrawlEngine:
                 F.coalesce("s.new_exetime", "o.exetime").alias("exetime"),
                 F.coalesce("s.new_retries_left", "o.retries_left").alias("retries_left"),
                 F.coalesce("s.new_lastcrawltime", "o.lastcrawltime").alias("lastcrawltime"),
-                F.when(F.col("s.new_status").isNotNull(), F.lit(now))
-                .otherwise(F.col("o.updatetime"))
-                .alias("updatetime"),
+                F.lit(now).alias("updatetime"),  # settle always stamps
+                # a key inserted AND settled in the same round (every
+                # round-0 seed) is still an insert for live-row lineage
+                F.col("o.is_new").alias("is_new"),
             )
-            .select([f.name for f in S.FRONTIER_SCHEMA.fields])
+            .select(*fr_cols, "is_new")
         )
-        fr_out_dir = snap.table_dir(r, "frontier")
+        # within-round precedence, resolved at write time so each key
+        # appears at most once per dseq: settle > merge > tombstone
+        delta_df = (
+            mdelta.join(F.broadcast(settle.select(*KEY)), KEY, "left_anti")
+            .select(*fr_cols, "is_new")
+            .unionByName(settle_full)
+            .withColumn("is_delete", F.lit(False))
+            .withColumn("pid", pid_col(cfg.n_partitions))
+        )
+        if had_cancels:
+            tomb = cancels.join(
+                F.broadcast(mdelta.select(*KEY)), KEY, "left_anti"
+            ).select(
+                *KEY,
+                *FR.tombstone_cols(),
+                F.lit(False).alias("is_new"),
+                F.lit(True).alias("is_delete"),
+                F.col("pid"),
+            )
+            delta_df = delta_df.unionByName(tomb)
+        delta_out = snap.table_dir(r, "frontier_delta")
         (
-            fr_final.withColumn("pid", pid_col(cfg.n_partitions))
+            delta_df.withColumn("dseq", F.lit(r).cast("long"))
             .repartition(F.col("pid"))  # cluster rows → one file per pid dir
             .write.mode("overwrite")
             .partitionBy("pid")
-            .parquet(fr_out_dir)
+            .parquet(delta_out)
         )
-        frontier_dirs_new = {p: rel for p, rel in fr_dirs.items() if p not in set(touched_all)}
-        for p in touched_all:
-            d = os.path.join(fr_out_dir, f"pid={p}")
-            if os.path.isdir(d):
-                frontier_dirs_new[p] = snap.rel(d)
-        tables["frontier"] = {str(p): rel for p, rel in sorted(frontier_dirs_new.items())}
+        entries = {p: FR.norm_entry(e) for p, e in fr_dirs.items()}
+        d_rows, ins_rows = FR.append_round_delta(snap, entries, delta_out)
+
+        # exact incremental live-row lineage (per pid): inserts add,
+        # settles/restarts replace; cancels recomputed exactly below
+        lin_prev = (man or {}).get("lineage", {}) or {}
+        live = {int(p): int(v) for p, v in (lin_prev.get("frontier_pid_rows") or {}).items()}
+        if not live and fr_dirs:
+            # legacy (pre-MoR) manifest: bases are exact, no deltas yet
+            live = {
+                p: _parquet_rows(snap.abspath(e["base"]))
+                for p, e in fr_dirs.items()
+                if e["base"]
+            }
+        for p, n in ins_rows.items():
+            live[p] = live.get(p, 0) + n
+        delta_tot = {
+            int(p): int(v) for p, v in (lin_prev.get("frontier_delta_rows") or {}).items()
+        }
+        for p, n in d_rows.items():
+            delta_tot[p] = delta_tot.get(p, 0) + n
+        if had_cancels:
+            # rare path: tombstones may or may not have hit live rows —
+            # recompute those partitions' live counts exactly
+            cpids = sorted(
+                int(p)
+                for (p, c), _n in _parquet_group_counts(probe_abs, ["pid", "cancel"]).items()
+                if c
+            )
+            for p in cpids:
+                live[p] = 0
+            for row in (
+                self._read_frontier(entries, cpids)
+                .groupBy(pid_col(cfg.n_partitions).alias("pid"))
+                .count()
+                .collect()
+            ):
+                live[int(row["pid"])] = int(row["count"])
+
+        # --- compaction (Iceberg rewrite_data_files analog)
+        due = FR.compaction_due(entries, live, delta_tot, cfg)
+        if due:
+            comp_rows = FR.compact(
+                self.spark, snap, entries, due, snap.table_dir(r, "frontier_base"),
+                cfg.n_partitions,
+            )
+            for p, n in comp_rows.items():
+                delta_tot.pop(p, None)
+                if n == 0:
+                    live.pop(p, None)
+                else:
+                    live[p] = n
+        live = {p: n for p, n in live.items() if p in entries}
+        tables["frontier"] = {str(p): entries[p] for p in sorted(entries)}
         mark("frontier_write")
 
         # --- drain the concurrent sink pool
@@ -865,27 +976,14 @@ class CrawlEngine:
         pool.shutdown()
 
         # --- counts from written artifacts (driver-side, no Spark jobs)
-        fr_pid_rows = {
-            p: _parquet_rows(snap.abspath(rel))
-            for p, rel in frontier_dirs_new.items()
-        }
-        n_frontier = sum(fr_pid_rows.values())
+        n_frontier = sum(live.values())
         n_ok = kind_counts.get("ok", 0)
         # processor exceptions count as failures (on_task_failed path)
         n_fail = kind_counts.get("fail", 0) + kind_counts.get("err", 0)
         n_blocked = kind_counts.get("blocked", 0)
-        prev_frontier = ((man or {}).get("lineage", {}).get("counts", {})).get(
-            "frontier", 0
-        )
-        if had_cancels:
-            # exact (rare path): survivors of touched partitions + the
-            # untouched partitions' footer counts
-            n_prev = fr1_t.count() + sum(
-                _parquet_rows(snap.abspath(fr_dirs[p])) for p in untouched
-            )
-        else:
-            n_prev = prev_frontier
-        n_new = n_frontier - n_prev
+        # inserted keys are counted exactly by the delta's is_new flag
+        # (a key is inserted iff the seen probe admitted it as new)
+        n_new = sum(ins_rows.values())
 
         # metrics tables are a handful of rows — written driver-side
         # with pyarrow (schema matches the Spark StructTypes so
@@ -948,6 +1046,14 @@ class CrawlEngine:
                     "round": r,
                     "now": now,
                     "touched_pids": touched_all,
+                    # per-pid live rows (exact, incrementally maintained;
+                    # refreshed from footers at compaction) + outstanding
+                    # delta rows (drives the MoR compaction triggers)
+                    "frontier_pid_rows": {str(p): n for p, n in sorted(live.items())},
+                    "frontier_delta_rows": {
+                        str(p): n for p, n in sorted(delta_tot.items()) if n
+                    },
+                    "compacted_pids": due,
                     "counts": {
                         "scheduled": n_sched,
                         "ok": n_ok,
@@ -957,13 +1063,13 @@ class CrawlEngine:
                         "frontier": n_frontier,
                         # migration signal: when the largest partition
                         # outgrows the design point, run migrate_partitions
-                        "frontier_pid_max": max(fr_pid_rows.values(), default=0),
+                        "frontier_pid_max": max(live.values(), default=0),
                     },
                 },
             }
         )
         mark("sinks_commit")
-        for df in (fr2_t, sched, blocked, fetched, upd_all, upd):
+        for df in (sched, blocked, fetched, upd_all, upd):
             df.unpersist()
         return {
             "phase_s": phase_s,
@@ -974,7 +1080,7 @@ class CrawlEngine:
             "robots_blocked": n_blocked,
             "new_urls": n_new,
             "frontier": n_frontier,
-            "frontier_pid_max": max(fr_pid_rows.values(), default=0),
+            "frontier_pid_max": max(live.values(), default=0),
             "wall_s": wall,
         }
 

@@ -42,6 +42,27 @@ FRONTIER_SCHEMA = StructType(
     ]
 )
 
+# frontier merge-on-read delta row: a full replacement frontier row
+# (or a cancel tombstone with null payload) plus MoR metadata —
+# `dseq` (the writing round; latest wins per key), `is_new` (insert vs
+# update, drives exact incremental live-row lineage), `is_delete`
+# (tombstone). The `pid` column is written as the partition directory.
+FRONTIER_DELTA_SCHEMA = StructType(
+    list(FRONTIER_SCHEMA.fields)
+    + [
+        StructField("is_new", BooleanType()),
+        StructField("is_delete", BooleanType()),
+        StructField("dseq", LongType()),
+    ]
+)
+
+# merge-stage staging row (round.py writes the merge output to a
+# per-round staging table and reads it back to cut plan lineage):
+# a full frontier row + the insert flag, pre-settle.
+FRONTIER_MERGE_SCHEMA = StructType(
+    list(FRONTIER_SCHEMA.fields) + [StructField("is_new", BooleanType())]
+)
+
 # normalized update row (a "crawl request": seed, follow, cron, message,
 # cancel). seen_k/pid are derived membership keys (SURVEY §2.3 J2/J3).
 UPDATE_SCHEMA = StructType(

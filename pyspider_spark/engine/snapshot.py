@@ -98,20 +98,22 @@ class SnapshotStore:
         referenced: set[str] = set()
 
         def _mark(p) -> None:
+            """Recursively mark every path string in the table entry —
+            plain rel, list of rels, pid->rel maps, and merge-on-read
+            frontier entries ({pid: {"base": rel, "deltas": [rel...]}})."""
             if isinstance(p, str):
                 parts = p.split(os.sep)
                 if len(parts) >= 2 and parts[0] == "rounds":
                     referenced.add(parts[1])
+            elif isinstance(p, dict):
+                for v in p.values():
+                    _mark(v)
+            elif isinstance(p, (list, tuple)):
+                for v in p:
+                    _mark(v)
 
         for rel in list(man.get("tables", {}).values()):
-            if isinstance(rel, dict):  # partitioned frontier: pid -> dir
-                for p in rel.values():
-                    _mark(p)
-            elif isinstance(rel, list):
-                for p in rel:
-                    _mark(p)
-            else:
-                _mark(rel)
+            _mark(rel)
         for ent in man.get("blobs", {}).values():
             if isinstance(ent, dict):  # {"bloom": rel, "cuckoo": rel, ...}
                 _mark(ent.get("bloom"))

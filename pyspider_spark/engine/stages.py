@@ -148,6 +148,78 @@ def _insert_cols(now: float, rnd: int, cfg: RoundConfig, src: str = "") -> list[
     ]
 
 
+def _restart_cond(now: float) -> Column:
+    """P4 — scheduler.on_old_request (~L380-440), over aliases `o`
+    (existing frontier row) and `u` (collapsed update)."""
+    return (
+        F.col("u.force_update")
+        | (F.col("u.itag").isNotNull() & ~F.col("u.itag").eqNullSafe(F.col("o.itag")))
+        | ((F.col("u.age") >= 0) & (F.lit(now) - F.col("o.lastcrawltime") >= F.col("u.age")))
+    )
+
+
+def _restarted_cols(now: float, cfg: RoundConfig) -> list[Column]:
+    """The post-restart row content — one source of truth shared by the
+    full-merge (CoW) and changed-rows (MoR) paths so they cannot drift."""
+    return [
+        F.col("o.url").alias("url"),
+        F.col("o.canon_url").alias("canon_url"),
+        F.col("o.host").alias("host"),
+        F.lit(ACTIVE).alias("status"),
+        F.greatest("o.priority", "u.priority").alias("priority"),
+        F.lit(cfg.max_retries).alias("retries_left"),
+        F.col("u.exetime").alias("exetime"),
+        F.when(F.col("u.age") >= 0, F.col("u.age")).otherwise(F.col("o.age")).alias("age"),
+        F.coalesce("u.itag", "o.itag").alias("itag"),
+        F.col("o.force_update").alias("force_update"),
+        (F.col("o.auto_recrawl") | F.col("u.auto_recrawl")).alias("auto_recrawl"),
+        F.col("o.callback").alias("callback"),
+        F.col("o.lastcrawltime").alias("lastcrawltime"),
+        F.lit(now).alias("updatetime"),
+        F.col("o.round_added").alias("round_added"),
+    ]
+
+
+def merge_frontier_delta(
+    fr: DataFrame, upd: DataFrame, probe: DataFrame, now: float, rnd: int, cfg: RoundConfig
+) -> DataFrame:
+    """Changed-rows-only MERGE — the merge-on-read write path (Iceberg
+    equality-delete/upsert files; SURVEY §2.1 S3). Same admission
+    semantics as :func:`merge_frontier`, but returns ONLY the rows a
+    round actually changes, plus an ``is_new`` flag:
+
+    - bloom-unseen updates → fresh ACTIVE inserts (``is_new`` true)
+    - bloom-seen updates missing from the frontier (bloom FPs) →
+      inserts (``is_new`` true)
+    - bloom-seen matches satisfying the P4 restart rule → restarted
+      rows (``is_new`` false)
+
+    Unchanged frontier rows never materialize: the (huge) frontier scan
+    is only streamed against the broadcast update batch — one key-only
+    semi pass for FP detection and one inner join for restart
+    evaluation — so the write cost of a round is O(changed), not
+    O(touched partitions)."""
+    upd = upd.join(probe.select(*KEY, "seen"), KEY, "inner")
+    new_inserts = upd.filter(~F.col("seen")).select(_insert_cols(now, rnd, cfg))
+    seen_upd = upd.filter(F.col("seen"))
+
+    hitkeys = fr.join(F.broadcast(seen_upd.select(*KEY)), KEY, "left_semi").select(*KEY)
+    fp_inserts = seen_upd.join(F.broadcast(hitkeys), KEY, "left_anti").select(
+        _insert_cols(now, rnd, cfg)
+    )
+    matched = fr.alias("o").join(F.broadcast(seen_upd).alias("u"), KEY, "inner")
+    restarts = matched.filter(_restart_cond(now)).select(
+        F.col("o.project").alias("project"),
+        F.col("o.taskid").alias("taskid"),
+        *_restarted_cols(now, cfg),
+    )
+    return (
+        new_inserts.unionByName(fp_inserts)
+        .withColumn("is_new", F.lit(True))
+        .unionByName(restarts.withColumn("is_new", F.lit(False)))
+    )
+
+
 def merge_frontier(
     fr: DataFrame, upd: DataFrame, probe: DataFrame, now: float, rnd: int, cfg: RoundConfig
 ) -> DataFrame:
@@ -166,54 +238,22 @@ def merge_frontier(
 
     has_old = F.col("o.status").isNotNull()
     has_upd = F.col("u.seen").isNotNull()
-    # P4 — scheduler.on_old_request (~L380-440)
-    restart = (
-        F.col("u.force_update")
-        | (F.col("u.itag").isNotNull() & ~F.col("u.itag").eqNullSafe(F.col("o.itag")))
-        | ((F.col("u.age") >= 0) & (F.lit(now) - F.col("o.lastcrawltime") >= F.col("u.age")))
-    )
+    restart = _restart_cond(now)
 
-    def pick(name: str, restarted: Column) -> Column:
-        return (
-            F.when(~has_old, F.lit(None))  # placeholder; insert branch below
-            .when(has_upd & restart, restarted)
-            .otherwise(F.col(f"o.{name}"))
-        )
-
+    names = [f.name for f in fr.schema.fields]
     merged = j.select(
         F.col("project"),
         F.col("taskid"),
-        # insert branch (old side null): all fields from u
+        # per non-key column: insert branch (old side null, bloom FP) →
+        # value from u; restart branch → shared P4 row content;
+        # otherwise the existing row carries through unchanged
         *[
-            F.when(~has_old, ins).otherwise(upd_or_old)
-            for ins, upd_or_old in zip(
+            F.when(~has_old, ins).when(has_upd & restart, rst).otherwise(F.col(f"o.{n}"))
+            for ins, rst, n in zip(
                 _insert_cols(now, rnd, cfg, src="u")[2:],  # skip key cols
-                [
-                    pick("url", F.col("o.url")).alias("url"),
-                    pick("canon_url", F.col("o.canon_url")).alias("canon_url"),
-                    pick("host", F.col("o.host")).alias("host"),
-                    pick("status", F.lit(ACTIVE)).alias("status"),
-                    pick("priority", F.greatest("o.priority", "u.priority")).alias("priority"),
-                    pick("retries_left", F.lit(cfg.max_retries)).alias("retries_left"),
-                    pick("exetime", F.col("u.exetime")).alias("exetime"),
-                    pick(
-                        "age",
-                        F.when(F.col("u.age") >= 0, F.col("u.age")).otherwise(F.col("o.age")),
-                    ).alias("age"),
-                    pick("itag", F.coalesce("u.itag", "o.itag")).alias("itag"),
-                    pick("force_update", F.col("o.force_update")).alias("force_update"),
-                    pick(
-                        "auto_recrawl", F.col("o.auto_recrawl") | F.col("u.auto_recrawl")
-                    ).alias("auto_recrawl"),
-                    pick("callback", F.col("o.callback")).alias("callback"),
-                    pick("lastcrawltime", F.col("o.lastcrawltime")).alias("lastcrawltime"),
-                    pick("updatetime", F.lit(now)).alias("updatetime"),
-                    pick("round_added", F.col("o.round_added")).alias("round_added"),
-                ],
+                _restarted_cols(now, cfg),
+                names[2:],
             )
         ],
-    )
-    # restore each column's alias (the when() wrapper strips it)
-    names = [f.name for f in fr.schema.fields]
-    merged = merged.toDF(*names)
+    ).toDF(*names)  # restore aliases (the when() wrapper strips them)
     return merged.unionByName(inserts)

@@ -1,0 +1,137 @@
+"""Frontier merge-on-read layout (engine/frontier.py; Iceberg MoR
+analog of SURVEY §2.1 S3).
+
+Invariants under test:
+- with compaction disabled, a round appends ONE delta dir and never
+  rewrites a base file — round-0 bases survive by path through N rounds;
+- the MoR-resolved frontier is row-identical to a copy-on-write run
+  (``frontier_compact_frac = 0`` folds every round — the old behavior);
+- the manifest's incremental per-pid live-row lineage stays exact
+  (equal to counting the resolved frontier) with and without
+  compaction, across inserts, restarts, settles and cancel tombstones;
+- the delta-dir read-amplification bound (``frontier_max_delta_dirs``)
+  triggers folds.
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+
+import pytest
+
+from pyspider_spark.config import RoundConfig
+from pyspider_spark.engine.frontier import entries_of
+from pyspider_spark.engine.round import CrawlEngine, pid_col
+from pyspider_spark.kernels.canon import canonicalize, taskid_of
+
+ROUNDS = 4
+# compaction OFF: ratio never fires, dir bound never fires
+MOR_CFG = RoundConfig(
+    n_partitions=4,
+    round_budget=1000,
+    frontier_compact_frac=1e18,
+    frontier_max_delta_dirs=10**6,
+)
+# compaction EVERY round == copy-on-write
+COW_CFG = replace(MOR_CFG, frontier_compact_frac=0.0)
+
+
+def _run(spark, fixtures, state_dir, cfg, rounds=ROUNDS, inject_at=None):
+    eng = CrawlEngine(
+        spark,
+        state_dir,
+        cfg,
+        pages_path=fixtures["pages"],
+        projects_path=fixtures["projects"],
+        robots_path=fixtures["robots"],
+    )
+    eng.run_rounds(
+        rounds, seeds=spark.read.parquet(fixtures["seeds"]), inject_at=inject_at
+    )
+    return eng
+
+
+def _rows(eng):
+    return sorted(tuple(r) for r in eng.frontier().collect())
+
+
+def _live_lineage(eng):
+    man = eng.snap.read_manifest()
+    return {
+        int(p): int(n)
+        for p, n in man["lineage"]["frontier_pid_rows"].items()
+    }
+
+
+def _actual_pid_counts(eng, n_partitions):
+    return {
+        int(r["pid"]): int(r["count"])
+        for r in eng.frontier()
+        .groupBy(pid_col(n_partitions).alias("pid"))
+        .count()
+        .collect()
+    }
+
+
+def test_mor_equals_cow_and_bases_never_rewritten(spark, smoke_fixtures, tmp_path):
+    mor = _run(spark, smoke_fixtures, str(tmp_path / "mor"), MOR_CFG)
+    cow = _run(spark, smoke_fixtures, str(tmp_path / "cow"), COW_CFG)
+
+    assert _rows(mor) == _rows(cow)
+
+    ents = entries_of(mor.snap.read_manifest())
+    # every base (if any) dates from round 0's compaction-free write
+    # path... with compaction disabled NO base is ever written after
+    # round 0; rounds 1..N only appended deltas
+    for p, e in ents.items():
+        if e["base"]:
+            assert "r000000" in e["base"], e
+        # a smoke crawl touches every partition every round
+        assert e["deltas"], e
+        for d in e["deltas"]:
+            assert "frontier_delta" in d
+    # CoW run: every entry is a folded base, zero outstanding deltas
+    for p, e in entries_of(cow.snap.read_manifest()).items():
+        assert e["base"] and not e["deltas"]
+
+    # exact incremental lineage == resolved counts, both layouts
+    assert _live_lineage(mor) == _actual_pid_counts(mor, MOR_CFG.n_partitions)
+    assert _live_lineage(cow) == _actual_pid_counts(cow, COW_CFG.n_partitions)
+    man = mor.snap.read_manifest()
+    assert sum(_live_lineage(mor).values()) == man["lineage"]["counts"]["frontier"]
+
+
+def test_delta_dir_bound_triggers_fold(spark, smoke_fixtures, tmp_path):
+    cfg = replace(MOR_CFG, frontier_max_delta_dirs=2)
+    eng = _run(spark, smoke_fixtures, str(tmp_path / "bound"), cfg)
+    ents = entries_of(eng.snap.read_manifest())
+    assert ents
+    for p, e in ents.items():
+        # a round may append the dir that reaches the bound, but the
+        # same round folds it: outstanding deltas stay < the bound
+        assert len(e["deltas"]) < 2, e
+    # folds happened and were recorded
+    man = eng.snap.read_manifest()
+    assert any("frontier_base" in (e["base"] or "") for e in ents.values())
+    assert _live_lineage(eng) == _actual_pid_counts(eng, cfg.n_partitions)
+
+
+def test_cancel_tombstone_under_mor(spark, smoke_fixtures, tmp_path):
+    import pyarrow.parquet as pq
+
+    url = pq.read_table(smoke_fixtures["seeds"])["url"][0].as_py()
+    cancel = spark.createDataFrame(
+        [(url, "test_project", True)], "url string, project string, cancel boolean"
+    )
+    eng = _run(
+        spark,
+        smoke_fixtures,
+        str(tmp_path / "tomb"),
+        MOR_CFG,
+        rounds=3,
+        inject_at={2: cancel},
+    )
+    tid = taskid_of(canonicalize(url))
+    assert eng.frontier().filter(f"taskid = '{tid}'").count() == 0
+    # live lineage recomputed exactly on the (rare) cancel path
+    assert _live_lineage(eng) == _actual_pid_counts(eng, MOR_CFG.n_partitions)

@@ -13,6 +13,7 @@ import pyarrow.parquet as pq
 import pytest
 
 from pyspider_spark.config import RoundConfig
+from pyspider_spark.engine.frontier import norm_entry
 from pyspider_spark.engine.round import CrawlEngine, pid_col
 from pyspider_spark.kernels.canon import partition_of
 
@@ -112,14 +113,16 @@ def test_untouched_partitions_carry_forward(spark, tmp_path, distinct_pid_hosts)
     dirs1 = dict(man1["tables"]["frontier"])
 
     assert set(man1["lineage"]["touched_pids"]) == {tpid}
-    # touched partition: rewritten under round 1
-    assert dirs1[str(tpid)] != dirs0[str(tpid)]
-    assert "r000001" in dirs1[str(tpid)]
-    # untouched partitions: SAME path, byte-identical files
+    # touched partition: its MoR entry changed under round 1 (a delta
+    # was appended and/or the deltas compacted into a fresh base)
+    e0, e1 = norm_entry(dirs0[str(tpid)]), norm_entry(dirs1[str(tpid)])
+    assert e1 != e0
+    assert any("r000001" in p for p in [e1["base"], *e1["deltas"]] if p)
+    # untouched partitions: SAME entry — base carried forward by path
     for h in hosts[1:]:
         p = str(partition_of(h, N_PART))
-        assert dirs1[p] == dirs0[p]
-        d = eng.snap.abspath(dirs1[p])
+        assert norm_entry(dirs1[p]) == norm_entry(dirs0[p])
+        d = eng.snap.abspath(norm_entry(dirs1[p])["base"])
         files = sorted(fn for fn in os.listdir(d) if fn.endswith(".parquet"))
         assert files  # still present on disk (gc-safe: manifest references it)
 

@@ -81,7 +81,8 @@ def test_partial_stage_dir_is_overwritten(spark, smoke_fixtures, tmp_path):
     b_dir = str(tmp_path / "c")
     eng = _run(spark, smoke_fixtures, b_dir, 2)
     # fake a torn round-2 staging: garbage files where round 2 writes
-    stage = eng.snap.table_dir(2, "frontier")
+    # its merge-on-read delta dir
+    stage = eng.snap.table_dir(2, "frontier_delta")
     shutil.rmtree(stage, ignore_errors=True)
     import os
 
