@@ -29,7 +29,10 @@ ordered list of delta files** instead:
   copy-on-write behavior.
 
 Write cost per steady round is therefore O(changed rows) + amortized
-O(frontier / compaction-period), instead of O(frontier). In the dense
+O(frontier / compaction-period), instead of O(frontier) — measured in
+``BENCH/frontier_scale_mor.json``: the same 1M → 8M growth that cost
+CoW 1.61× steady-round wall costs MoR 1.08×, with ``frontier_write``
+flat (15.4 s → 15.7 s) across 7.7× frontier growth. In the dense
 regime (schedule ≈ frontier) the ratio trigger fires every round or
 two and the layout self-tunes back to CoW — no mode knob.
 
