@@ -75,6 +75,14 @@ class RoundConfig:
     frontier_compact_frac: float = 0.2
     frontier_max_delta_dirs: int = 16
     frontier_delta_max_keys: int = 2_000_000
+    # Compaction writes each base file clustered by `exetime` in row
+    # groups of at most this many bytes, so the candidates scan's
+    # pushed-down `exetime <= now` predicate skips never-due row
+    # groups via parquet min/max stats — the one phase that still grew
+    # with frontier size after MoR (BENCH/frontier_scale_mor.json:
+    # `schedule` 21 s → 37 s at 8× frontier) becomes O(due-rows) on a
+    # mostly-cold frontier instead of O(frontier).
+    frontier_rowgroup_bytes: int = 16 << 20
     # bloom sizing policy: m/k derived from expected keys per partition
     # and a target false-positive rate (see kernels.bloom.bloom_params);
     # partitions whose inserted-key count exceeds `bloom_expected_keys`

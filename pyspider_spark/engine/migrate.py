@@ -70,7 +70,11 @@ def migrate_partitions(engine, new_n: int) -> dict:
     (
         fr.withColumn("pid", pid_col(new_n))
         .repartition(F.col("pid"))
+        # same exetime clustering as compaction bases (row-group skip
+        # of never-due rows in the candidates scan)
+        .sortWithinPartitions("pid", F.asc_nulls_last("exetime"))
         .write.mode("overwrite")
+        .option("parquet.block.size", str(int(cfg.frontier_rowgroup_bytes)))
         .partitionBy("pid")
         .parquet(mig_dir)
     )

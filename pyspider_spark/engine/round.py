@@ -951,7 +951,7 @@ class CrawlEngine:
         if due:
             comp_rows = FR.compact(
                 self.spark, snap, entries, due, snap.table_dir(r, "frontier_base"),
-                cfg.n_partitions,
+                cfg.n_partitions, cfg.frontier_rowgroup_bytes,
             )
             for p, n in comp_rows.items():
                 delta_tot.pop(p, None)

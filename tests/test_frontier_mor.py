@@ -116,6 +116,77 @@ def test_delta_dir_bound_triggers_fold(spark, smoke_fixtures, tmp_path):
     assert _live_lineage(eng) == _actual_pid_counts(eng, cfg.n_partitions)
 
 
+def test_compacted_bases_cluster_by_exetime_for_rowgroup_skip(spark, tmp_path):
+    """Compaction writes bases sorted by exetime in bounded row groups,
+    so the candidates scan's pushed `exetime <= now` predicate can skip
+    never-due row groups via parquet min/max stats (the 10^10-row
+    design point is a mostly-cold frontier)."""
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from pyspider_spark.engine import frontier as FR
+    from pyspider_spark.engine import schema as S
+    from pyspider_spark.engine.snapshot import SnapshotStore
+
+    now = 1000.0
+    n_due, n_cold = 500, 50_000
+    rows = spark.range(n_due + n_cold).select(
+        F.lit("p").alias("project"),
+        F.concat(F.lit("t"), F.col("id")).alias("taskid"),
+        F.concat(F.lit("http://h0.test/"), F.col("id")).alias("url"),
+        F.concat(F.lit("http://h0.test/"), F.col("id")).alias("canon_url"),
+        F.lit("h0.test").alias("host"),
+        F.lit(1).alias("status"),
+        F.lit(0).alias("priority"),
+        F.lit(3).alias("retries_left"),
+        F.when(F.col("id") < n_due, F.lit(now - 1.0))
+        .otherwise(F.lit(now + 1e9))
+        .alias("exetime"),
+        F.lit(-1.0).alias("age"),
+        F.lit(None).cast("string").alias("itag"),
+        F.lit(False).alias("force_update"),
+        F.lit(False).alias("auto_recrawl"),
+        F.lit(None).cast("string").alias("callback"),
+        F.lit(0.0).alias("lastcrawltime"),
+        F.lit(0.0).alias("updatetime"),
+        F.lit(0).alias("round_added"),
+    )
+    snap = SnapshotStore(str(tmp_path))
+    base0 = str(tmp_path / "seed_base")
+    rows.write.parquet(base0)
+    entries = {0: {"base": snap.rel(base0), "deltas": []}}
+    out = str(tmp_path / "compacted")
+    # tiny row groups so the 50k-row file splits into many groups
+    FR.compact(spark, snap, entries, [0], out, 1, row_group_bytes=1 << 17)
+
+    pid_dir = os.path.join(out, "pid=0")
+    files = [f for f in os.listdir(pid_dir) if f.endswith(".parquet")]
+    assert len(files) == 1
+    md = pq.ParquetFile(os.path.join(pid_dir, files[0])).metadata
+    idx = md.schema.names.index("exetime")
+    mins = [md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups)]
+    maxs = [md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups)]
+    assert md.num_row_groups >= 4, "row_group_bytes bound not applied"
+    assert mins == sorted(mins), "base file not clustered by exetime"
+    skippable = sum(1 for m in mins if m > now)
+    assert skippable >= md.num_row_groups - 2, (
+        f"cold mass not isolated into skippable row groups: {mins[:4]}..."
+    )
+    # correctness: the due predicate over the compacted base returns
+    # exactly the due rows
+    got = (
+        spark.read.schema(S.FRONTIER_SCHEMA)
+        .parquet(pid_dir)
+        .filter(F.col("exetime") <= now)
+        .count()
+    )
+    assert got == n_due
+    # first row group holds the due rows (scan reads ~1 group of many)
+    assert mins[0] <= now < maxs[-1]
+
+
 def test_cancel_tombstone_under_mor(spark, smoke_fixtures, tmp_path):
     import pyarrow.parquet as pq
 
