@@ -450,7 +450,16 @@ class CrawlEngine:
         )
         raw = ensure_raw_columns(follows)
         if inject is not None:
-            raw = raw.unionByName(ensure_raw_columns(inject))
+            # External rows (seeds, admin injects) inherit the SOURCE's
+            # partitioning into the narrow normalize mapInPandas — a
+            # seed list landing as one parquet file would canonicalize
+            # 10^6+ URLs in ONE task at any cluster width (measured:
+            # round-0 normalize_probe flat in cores at bench scale).
+            # One shuffle of the inject-sized rows buys cluster-width
+            # normalization regardless of source layout; follows stay
+            # narrow (they're already settle-write-wide).
+            n_shuf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            raw = raw.unionByName(ensure_raw_columns(inject).repartition(n_shuf))
         if cron_rows:
             cron_df = spark.createDataFrame(
                 [(u, None, p, cb) for (u, p, cb) in cron_rows],
