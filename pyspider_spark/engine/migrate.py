@@ -112,19 +112,30 @@ def migrate_partitions(engine, new_n: int) -> dict:
     caps = {
         p: max(cfg.bloom_expected_keys, 2 * n) for p, n in counts.items()
     }
-    blob_dir = snap.blob_dir(r)
-    new_blobs: dict[str, dict] = {}
-    for row in rebuild_blooms(fr_keys, caps, cfg).collect():
-        pid = int(row["pid"])
-        path = os.path.join(blob_dir, f"bloom_{pid:05d}.mig{new_n}.bin")
-        with open(path, "wb") as f:
-            f.write(bytes(row["bloom_blob"]))
-        new_blobs[str(pid)] = {
-            "bloom": snap.rel(path),
-            "cuckoo": None,  # fresh shadow — exact, see module docstring
-            "n_keys": int(row["n_keys"]),
+    blobs_dir = os.path.join(snap.round_dir(r), f"blobs_mig{new_n}")
+    (
+        rebuild_blooms(fr_keys, caps, cfg)
+        .select(
+            "pid",
+            "bloom_blob",
+            # fresh cuckoo shadow — exact, see module docstring
+            F.lit(None).cast("binary").alias("cuckoo_blob"),
+            "n_keys",
+        )
+        .write.mode("overwrite")
+        .parquet(blobs_dir)
+    )
+    from pyspider_spark.engine.round import _parquet_pid_nkeys
+
+    blobs_rel = snap.rel(blobs_dir)
+    new_blobs: dict[str, dict] = {
+        str(pid): {
+            "table": blobs_rel,
+            "n_keys": n,
             "capacity": caps[pid],
         }
+        for pid, n in _parquet_pid_nkeys(blobs_dir).items()
+    }
 
     # --- atomic commit: same manifest-rename path as a round
     man2 = dict(man)

@@ -112,21 +112,18 @@ def _parquet_group_counts(d: str, cols: list[str]) -> dict[tuple, int]:
     return out
 
 
-def _parquet_state_rows(d: str) -> list[dict]:
-    """The per-partition blob state rows of a written probe table
-    (project IS NULL), read driver-side (≤ n_partitions rows)."""
-    import pyarrow.compute as pc
+def _parquet_pid_nkeys(d: str) -> dict[int, int]:
+    """(pid -> n_keys) of a written blobs table, via a two-small-column
+    pyarrow read — blob BYTES stay on disk (≤ n_partitions rows)."""
     import pyarrow.parquet as pq
 
-    rows: list[dict] = []
+    out: dict[int, int] = {}
     for fn in sorted(os.listdir(d)):
         if fn.endswith(".parquet"):
-            t = pq.read_table(
-                os.path.join(d, fn),
-                columns=["project", "pid", "bloom_blob", "cuckoo_blob", "n_keys"],
-            )
-            rows.extend(t.filter(pc.is_null(t["project"])).to_pylist())
-    return rows
+            t = pq.read_table(os.path.join(d, fn), columns=["pid", "n_keys"])
+            for row in t.to_pylist():
+                out[int(row["pid"])] = int(row["n_keys"] or 0)
+    return out
 
 
 class CrawlEngine:
@@ -312,33 +309,82 @@ class CrawlEngine:
         return self.spark.read.schema(S.HOST_STATE_SCHEMA).parquet(*paths)
 
     # ---- seen-state blobs ------------------------------------------------
-    def _load_blobs(self, man: dict | None) -> dict[int, tuple[bytes | None, bytes | None, int]]:
-        """Previous-round blob bytes, read DRIVER-side from the store
-        (executors receive them via broadcast — never via shared FS)."""
-        out: dict[int, tuple[bytes | None, bytes | None, int]] = {}
+    def _blob_df(self, man: dict | None) -> DataFrame:
+        """Previous-round blob state as BLOB_SCHEMA rows, WITHOUT the
+        bytes transiting the driver: new-style manifest entries
+        (``{"table": rel}``) group into per-table parquet scans filtered
+        to the pids each table still owns; legacy ``.bin`` entries
+        (pre-refactor snapshots) fall back to a driver read + lift."""
+        from pyspider_spark.engine.seen import BLOB_SCHEMA, blobs_df_of
+
+        by_table: dict[str, list[int]] = {}
+        legacy: dict[int, tuple[bytes | None, bytes | None, int]] = {}
         for pid, ent in ((man or {}).get("blobs", {}) or {}).items():
-            b = c = None
-            if ent.get("bloom"):
-                with open(self.snap.abspath(ent["bloom"]), "rb") as f:
-                    b = f.read()
-            if ent.get("cuckoo"):
-                with open(self.snap.abspath(ent["cuckoo"]), "rb") as f:
-                    c = f.read()
-            out[int(pid)] = (b, c, int(ent.get("n_keys", 0)))
-        return out
+            if ent.get("table"):
+                by_table.setdefault(ent["table"], []).append(int(pid))
+            elif ent.get("bloom") or ent.get("cuckoo"):
+                b = c = None
+                if ent.get("bloom"):
+                    with open(self.snap.abspath(ent["bloom"]), "rb") as f:
+                        b = f.read()
+                if ent.get("cuckoo"):
+                    with open(self.snap.abspath(ent["cuckoo"]), "rb") as f:
+                        c = f.read()
+                legacy[int(pid)] = (b, c, int(ent.get("n_keys", 0)))
+        parts = [
+            self.spark.read.schema(BLOB_SCHEMA)
+            .parquet(self.snap.abspath(rel))
+            .filter(F.col("pid").isin(pids))
+            for rel, pids in sorted(by_table.items())
+        ]
+        if legacy or not parts:
+            parts.append(blobs_df_of(self.spark, legacy))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
+    def blob_state(self, pid: int) -> tuple[bytes | None, bytes | None, int]:
+        """Driver-side read of one partition's current blob bytes
+        (tests / inspection only — rounds never do this)."""
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        ent = (self.snap.read_manifest() or {}).get("blobs", {}).get(str(pid))
+        if ent is None:
+            return (None, None, 0)
+        if ent.get("table"):
+            t = pq.read_table(self.snap.abspath(ent["table"]))
+            t = t.filter(pc.equal(t["pid"], pid))
+            if t.num_rows == 0:
+                return (None, None, 0)
+            row = t.to_pylist()[0]
+            return (row["bloom_blob"], row["cuckoo_blob"], int(row["n_keys"] or 0))
+        b = c = None
+        if ent.get("bloom"):
+            with open(self.snap.abspath(ent["bloom"]), "rb") as f:
+                b = f.read()
+        if ent.get("cuckoo"):
+            with open(self.snap.abspath(ent["cuckoo"]), "rb") as f:
+                c = f.read()
+        return (b, c, int(ent.get("n_keys", 0)))
 
     def _maybe_rebuild_blooms(
         self,
         man: dict | None,
         fr_dirs: dict[int, str],
-        prev_blobs: dict[int, tuple[bytes | None, bytes | None, int]],
+        blob_df: DataFrame,
         blob_meta: dict,
         r: int,
-    ) -> None:
+    ) -> DataFrame:
         """Bloom growth path: partitions whose inserted-key count
         exceeds their sized capacity are rebuilt at 2x from the
-        frontier keys (one grouped-map job over just those partitions).
-        Mutates prev_blobs + blob_meta in place."""
+        frontier keys — one grouped-map job over just those partitions,
+        cuckoo shadows carried over by a pid join, the result written
+        DISTRIBUTED as a blobs table (no bytes through the driver).
+        Mutates blob_meta; returns the updated blob DataFrame."""
+        from pyspider_spark.engine.seen import BLOB_SCHEMA
+
         cfg = self.cfg
         saturated = [
             int(p)
@@ -347,7 +393,7 @@ class CrawlEngine:
             and int(p) in fr_dirs
         ]
         if not saturated:
-            return
+            return blob_df
         caps = {
             p: 2 * max(
                 blob_meta[str(p)].get("n_keys", 0),
@@ -359,19 +405,25 @@ class CrawlEngine:
             pid_col(cfg.n_partitions).alias("pid"),
             F.md5(F.concat_ws("|", "project", "canon_url")).alias("seen_k"),
         )
-        blob_dir = self.snap.blob_dir(r)
-        for row in rebuild_blooms(fr_sat, caps, cfg).collect():
-            pid = int(row["pid"])
-            path = os.path.join(blob_dir, f"bloom_{pid:05d}.rebuilt.bin")
-            with open(path, "wb") as f:
-                f.write(bytes(row["bloom_blob"]))
-            _b, c, _n = prev_blobs.get(pid, (None, None, 0))
-            prev_blobs[pid] = (bytes(row["bloom_blob"]), c, int(row["n_keys"]))
+        rebuilt = (
+            rebuild_blooms(fr_sat, caps, cfg)
+            .join(blob_df.select("pid", "cuckoo_blob"), "pid", "left")
+            .select("pid", "bloom_blob", "cuckoo_blob", "n_keys")
+        )
+        out_dir = self.snap.table_dir(r, "blobs_rebuilt")
+        rebuilt.write.mode("overwrite").parquet(out_dir)
+        rel = self.snap.rel(out_dir)
+        for pid, n in _parquet_pid_nkeys(out_dir).items():
             ent = dict(blob_meta.get(str(pid), {}))
-            ent.update(
-                bloom=self.snap.rel(path), n_keys=int(row["n_keys"]), capacity=caps[pid]
-            )
+            ent.pop("bloom", None)
+            ent.pop("cuckoo", None)
+            ent.update(table=rel, n_keys=n, capacity=caps[pid])
             blob_meta[str(pid)] = ent
+        return (
+            blob_df.filter(~F.col("pid").isin(saturated)).unionByName(
+                self.spark.read.schema(BLOB_SCHEMA).parquet(out_dir)
+            )
+        )
 
     def frontier(self) -> DataFrame:
         """The full current frontier (all partition dirs of the last
@@ -484,36 +536,45 @@ class CrawlEngine:
         # reads warm.
         upd.count()
 
-        # --- seen probe (J2/J3): pure grouped-map; previous blobs go out
-        # via broadcast, updated blobs come back as binary state rows in
-        # the written probe table and are persisted by the DRIVER below.
+        # --- seen probe (J2/J3): pure cogrouped-map; previous blobs are
+        # BLOB_SCHEMA rows (per-round parquet tables) shuffled to their
+        # pid's task, updated blobs come back as binary state rows in
+        # the written probe table and become the next blobs table below.
         blob_meta = dict((man or {}).get("blobs", {}))
-        prev_blobs = self._load_blobs(man)
-        self._maybe_rebuild_blooms(man, fr_dirs, prev_blobs, blob_meta, r)
+        blob_df = self._blob_df(man)
+        blob_df = self._maybe_rebuild_blooms(man, fr_dirs, blob_df, blob_meta, r)
 
         probe_cols = ["project", "taskid", "seen_k", "pid"]
         probe_in = cancels.select(*probe_cols, "cancel").unionByName(
             upd.select(*probe_cols).withColumn("cancel", F.lit(False))
         )
-        probe_out = probe_and_update(probe_in, prev_blobs, cfg)
+        probe_out = probe_and_update(probe_in, blob_df, cfg)
         probe_rel = self._write(probe_out, r, "probe")
         probe_abs = snap.abspath(probe_rel)
 
-        # driver-side blob persistence + touched-partition set
-        blob_dir = snap.blob_dir(r)
-        for srow in _parquet_state_rows(probe_abs):
-            pid = int(srow["pid"])
-            bp = os.path.join(blob_dir, f"bloom_{pid:05d}.bin")
-            cp = os.path.join(blob_dir, f"cuckoo_{pid:05d}.bin")
-            with open(bp, "wb") as f:
-                f.write(srow["bloom_blob"])
-            with open(cp, "wb") as f:
-                f.write(srow["cuckoo_blob"])
+        # blob persistence: the state rows become the next round's blobs
+        # table via a DISTRIBUTED narrow write (state rows prune by
+        # parquet null-count stats) — the driver touches only the
+        # (pid, n_keys) integers; blob bytes never leave the executors.
+        # "blobs_tbl", not "blobs": the legacy .bin dir was
+        # rounds/rX/blobs — a crash-resume over a legacy snapshot must
+        # not overwrite-delete referenced .bin files.
+        blobs_dir = snap.table_dir(r, "blobs_tbl")
+        (
+            spark.read.parquet(probe_abs)
+            .filter(F.col("taskid").isNull())
+            .select("pid", "bloom_blob", "cuckoo_blob", "n_keys")
+            .write.mode("overwrite")
+            .parquet(blobs_dir)
+        )
+        blobs_rel = snap.rel(blobs_dir)
+        for pid, n in _parquet_pid_nkeys(blobs_dir).items():
             ent = dict(blob_meta.get(str(pid), {}))
+            ent.pop("bloom", None)
+            ent.pop("cuckoo", None)
             ent.update(
-                bloom=snap.rel(bp),
-                cuckoo=snap.rel(cp),
-                n_keys=int(srow["n_keys"]),
+                table=blobs_rel,
+                n_keys=n,
                 capacity=ent.get("capacity", cfg.bloom_expected_keys),
             )
             blob_meta[str(pid)] = ent

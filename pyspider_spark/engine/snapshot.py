@@ -115,7 +115,8 @@ class SnapshotStore:
         for rel in list(man.get("tables", {}).values()):
             _mark(rel)
         for ent in man.get("blobs", {}).values():
-            if isinstance(ent, dict):  # {"bloom": rel, "cuckoo": rel, ...}
+            if isinstance(ent, dict):  # {"table": rel} | legacy {"bloom": rel, ...}
+                _mark(ent.get("table"))
                 _mark(ent.get("bloom"))
                 _mark(ent.get("cuckoo"))
             else:
