@@ -105,6 +105,12 @@ class RoundConfig:
     # limit); past the bound the join falls back to AQE's choice.
     fetch_broadcast_max_rows: int = 20_000_000
     respect_robots: bool = True
+    # robots dim join: broadcast only when the dim's row count is KNOWN
+    # (parquet footers) and under this bound — a web-scale robots table
+    # (10^7-10^8 hosts x ~KB of rules) must shuffle-join on host
+    # instead of being force-collected to the driver. Candidates side
+    # skew (hot hosts) is AQE's skew-join problem, not a broadcast's.
+    robots_broadcast_max_rows: int = 1_000_000
     # P6 — pause a project after this many processor exceptions in one
     # round (``scheduler/scheduler.py — EXCEPTION_LIMIT``); unpaused
     # when the projects dim changes (the reference re-enables on

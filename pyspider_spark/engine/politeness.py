@@ -64,12 +64,24 @@ def _robots_allowed(host: pd.Series, canon_url: pd.Series, robots_txt: pd.Series
     return pd.Series(out, dtype=bool)
 
 
-def check_robots(cands: DataFrame, robots: DataFrame, cfg: RoundConfig) -> DataFrame:
-    """Adds boolean `allowed`. robots is a small dim (host → robots_txt)
-    → broadcast hash join; no robots row for a host ⇒ allowed."""
+def check_robots(
+    cands: DataFrame,
+    robots: DataFrame,
+    cfg: RoundConfig,
+    robots_rows: int | None = None,
+) -> DataFrame:
+    """Adds boolean `allowed`; no robots row for a host ⇒ allowed.
+
+    Join strategy is bounded like the fetch join (ADVICE r1): the dim
+    is broadcast only when its row count is KNOWN (`robots_rows`, from
+    parquet footers) and under ``cfg.robots_broadcast_max_rows`` — a
+    web-scale robots table (10^7+ hosts × ~KB rules) left-joins on
+    host by AQE's choice instead of being force-collected."""
     if not cfg.respect_robots:
         return cands.withColumn("allowed", F.lit(True))
-    dim = F.broadcast(robots.select("host", "robots_txt"))
+    dim = robots.select("host", "robots_txt")
+    if robots_rows is not None and robots_rows <= cfg.robots_broadcast_max_rows:
+        dim = F.broadcast(dim)
     j = cands.join(dim, "host", "left")
     # only rows whose host HAS robots text pay the Python UDF; hosts
     # without a robots row (the vast majority) stay JVM-side
@@ -185,6 +197,7 @@ def schedule_round(
     cfg: RoundConfig,
     now: float,
     project_caps: dict[str, int] | None = None,
+    robots_rows: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Full O1/O2/O3/J4/J5 pass. Returns (sched, blocked).
 
@@ -193,7 +206,7 @@ def schedule_round(
     global `round_budget` cut in O1 order (TakeOrdered: per-partition
     top-k then merge — no global sort materialization).
     blocked: robots-disallowed rows (settle BAD, no retry)."""
-    checked = check_robots(cands, robots, cfg)
+    checked = check_robots(cands, robots, cfg, robots_rows=robots_rows)
     blocked = checked.filter(~F.col("allowed")).select(*ADMIT_COLS)
     ok = checked.filter(F.col("allowed"))
 

@@ -206,6 +206,7 @@ class CrawlEngine:
                     [], "host string, robots_txt string"
                 )
                 self._robots_stat = ()
+                self.robots_rows = 0
             return
         try:
             st = os.stat(self.robots_path)
@@ -216,6 +217,12 @@ class CrawlEngine:
             return
         self._robots_stat = sig
         self.robots = self.spark.read.parquet(self.robots_path)
+        # footer row count drives the bounded-broadcast decision in
+        # check_robots; unknown (non-dir layout) ⇒ no forced broadcast
+        try:
+            self.robots_rows: int | None = _parquet_rows(self.robots_path)
+        except OSError:
+            self.robots_rows = None
 
     def _load_projects(self) -> bool:
         """(Re)read the projects dim — hot-reload analog of
@@ -659,7 +666,8 @@ class CrawlEngine:
             )
         project_caps = {n: int(t) for n, t in proj_tok.items()}
         sched, blocked = schedule_round(
-            cands, self.robots, host_state, cfg, now, project_caps=project_caps
+            cands, self.robots, host_state, cfg, now,
+            project_caps=project_caps, robots_rows=self.robots_rows,
         )
         sched = sched.persist(StorageLevel.MEMORY_AND_DISK)
         blocked = blocked.persist(StorageLevel.MEMORY_AND_DISK)

@@ -191,3 +191,34 @@ def test_status_counts_stays_jvm_side(spark):
     assert plan.count("HashAggregate") >= 2
     for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
         assert marker not in plan
+
+
+# ---------------------------------------------------------------------------
+# robots join: broadcast only under a KNOWN row bound (a web-scale robots
+# dim must not be force-collected to the driver)
+# ---------------------------------------------------------------------------
+def test_robots_join_broadcast_is_bounded(spark):
+    from pyspider_spark.engine.politeness import check_robots
+
+    cands = spark.range(1000).select(
+        F.concat(F.lit("h"), (F.col("id") % 7).cast("string")).alias("host"),
+        F.concat(F.lit("http://h/"), F.col("id").cast("string")).alias("canon_url"),
+    )
+    robots = spark.createDataFrame(
+        [("h1", "User-agent: *\nDisallow: /x")], "host string, robots_txt string"
+    )
+    cfg = RoundConfig(n_partitions=4)
+
+    bounded = check_robots(cands, robots, cfg, robots_rows=1)
+    assert "BroadcastHashJoin" in _plan(bounded)
+
+    # unknown or over-bound size: no FORCED broadcast hint in the
+    # optimized logical plan (AQE may still pick one from measured
+    # stats at runtime - which is the point)
+    unbounded = check_robots(cands, robots, cfg, robots_rows=None)
+    logical = unbounded._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in logical
+    over = check_robots(
+        cands, robots, cfg, robots_rows=cfg.robots_broadcast_max_rows + 1
+    )
+    assert "ResolvedHint" not in over._jdf.queryExecution().optimizedPlan().toString()
