@@ -104,6 +104,13 @@ class RoundConfig:
     # schedule must not be force-collected to the driver (8 GB broadcast
     # limit); past the bound the join falls back to AQE's choice.
     fetch_broadcast_max_rows: int = 20_000_000
+    # merge/settle/delta joins: the changed-rows batch (updates, merge
+    # output, settle outcomes) is broadcast into the frontier-scan
+    # joins only when its KNOWN row count (upd.count / staging-table
+    # footers) is under this bound; above it the hints drop and AQE
+    # picks the strategy — 10^8-row rounds at the 10^10 design point
+    # must not force-collect the batch to the driver.
+    merge_broadcast_max_rows: int = 20_000_000
     respect_robots: bool = True
     # robots dim join: broadcast only when the dim's row count is KNOWN
     # (parquet footers) and under this bound — a web-scale robots table

@@ -540,8 +540,9 @@ class CrawlEngine:
         # normalize pass runs twice and races itself for cores
         # (measured as duplicate concurrent jobs in the event log).
         # One count() = one normalize + one collapse, then every branch
-        # reads warm.
-        upd.count()
+        # reads warm. The count also bounds the merge-side broadcast
+        # hints (merge_broadcast_max_rows).
+        n_upd = upd.count()
 
         # --- seen probe (J2/J3): pure cogrouped-map; previous blobs are
         # BLOB_SCHEMA rows (per-round parquet tables) shuffled to their
@@ -599,11 +600,13 @@ class CrawlEngine:
         # streamed against the broadcast update batch, never rewritten.
         fr_res_t = self._read_frontier(fr_dirs, touched_u)
         if had_cancels:
-            fr_res_t = fr_res_t.join(
-                F.broadcast(cancels.select(*KEY)), KEY, "left_anti"
-            )
+            ck = cancels.select(*KEY)
+            if cancel_counts.get(True, 0) <= cfg.merge_broadcast_max_rows:
+                ck = F.broadcast(ck)
+            fr_res_t = fr_res_t.join(ck, KEY, "left_anti")
         merge_out = merge_frontier_delta(
-            fr_res_t, upd, probe_df.filter(~F.col("cancel")), now, r, cfg
+            fr_res_t, upd, probe_df.filter(~F.col("cancel")), now, r, cfg,
+            upd_rows=n_upd,
         )
         # Materialize the merge output as a staging table and read it
         # back (same idiom as the probe table) instead of persist():
@@ -618,17 +621,29 @@ class CrawlEngine:
         # survives executor loss on a real cluster.
         merge_abs = snap.abspath(self._write(merge_out, r, "merge"))
         mdelta = spark.read.schema(S.FRONTIER_MERGE_SCHEMA).parquet(merge_abs)
+        n_merge = _parquet_rows(merge_abs)
+        # changed-rows batches are broadcast into the frontier-scan
+        # joins only under the bound (10^8-row rounds must not be
+        # force-collected); above it AQE picks from observed sizes.
+        # (settle-side joins get their own bound from n_sched below —
+        # a scheduled row need not be a merge-changed row.)
+        n_changed = n_merge + cancel_counts.get(True, 0)
+        mb = (
+            F.broadcast
+            if n_changed <= cfg.merge_broadcast_max_rows
+            else (lambda df: df)
+        )
         mark("merge")
         fr_cols = FR.FR_COLS
         # post-merge view = resolved frontier ⊖ (changed ∪ cancelled
-        # keys) ⊕ changed rows; the anti side is schedule-bound ⇒
-        # broadcast, the big scan stays map-side
+        # keys) ⊕ changed rows; the anti side is changed-rows-bound ⇒
+        # broadcast under the bound, the big scan stays map-side
         anti_keys = mdelta.select(*KEY)
         if had_cancels:
             anti_keys = anti_keys.unionByName(cancels.select(*KEY))
         fr2 = (
             self._read_frontier(fr_dirs, list(fr_dirs))
-            .join(F.broadcast(anti_keys), KEY, "left_anti")
+            .join(mb(anti_keys), KEY, "left_anti")
             .unionByName(mdelta.select(*fr_cols))
         )
 
@@ -929,15 +944,22 @@ class CrawlEngine:
         # partitions' resolved view ⊕ merge delta, streamed against the
         # broadcast settle batch (every settle key is in this view —
         # sched ⊂ cands ⊂ fr2)
+        # settle-side joins: bounded like the merge side, from the
+        # schedule footer count (every scheduled row settles)
+        msb = (
+            F.broadcast
+            if n_sched <= cfg.merge_broadcast_max_rows
+            else (lambda df: df)
+        )
         view_sp = (
             self._read_frontier(fr_dirs, sorted(settle_pids))
-            .join(F.broadcast(anti_keys), KEY, "left_anti")
+            .join(mb(anti_keys), KEY, "left_anti")
             .withColumn("is_new", F.lit(False))
             .unionByName(mdelta.select(*fr_cols, "is_new"))
         )
         settle_full = (
             view_sp.alias("o")
-            .join(F.broadcast(settle.drop("pid")).alias("s"), KEY, "inner")
+            .join(msb(settle.drop("pid")).alias("s"), KEY, "inner")
             .select(
                 *KEY,
                 *[
@@ -960,7 +982,7 @@ class CrawlEngine:
         # within-round precedence, resolved at write time so each key
         # appears at most once per dseq: settle > merge > tombstone
         delta_df = (
-            mdelta.join(F.broadcast(settle.select(*KEY)), KEY, "left_anti")
+            mdelta.join(msb(settle.select(*KEY)), KEY, "left_anti")
             .select(*fr_cols, "is_new")
             .unionByName(settle_full)
             .withColumn("is_delete", F.lit(False))
@@ -968,7 +990,7 @@ class CrawlEngine:
         )
         if had_cancels:
             tomb = cancels.join(
-                F.broadcast(mdelta.select(*KEY)), KEY, "left_anti"
+                mb(mdelta.select(*KEY)), KEY, "left_anti"
             ).select(
                 *KEY,
                 *FR.tombstone_cols(),

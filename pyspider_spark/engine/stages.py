@@ -181,7 +181,13 @@ def _restarted_cols(now: float, cfg: RoundConfig) -> list[Column]:
 
 
 def merge_frontier_delta(
-    fr: DataFrame, upd: DataFrame, probe: DataFrame, now: float, rnd: int, cfg: RoundConfig
+    fr: DataFrame,
+    upd: DataFrame,
+    probe: DataFrame,
+    now: float,
+    rnd: int,
+    cfg: RoundConfig,
+    upd_rows: int | None = None,
 ) -> DataFrame:
     """Changed-rows-only MERGE — the merge-on-read write path (Iceberg
     equality-delete/upsert files; SURVEY §2.1 S3). Same admission
@@ -198,16 +204,24 @@ def merge_frontier_delta(
     is only streamed against the broadcast update batch — one key-only
     semi pass for FP detection and one inner join for restart
     evaluation — so the write cost of a round is O(changed), not
-    O(touched partitions)."""
+    O(touched partitions).
+
+    `upd_rows` (the update batch's known row count) bounds the
+    broadcast hints like the fetch join's `sched_rows`: an unbounded
+    batch (10^8-row rounds at the 10^10 design point) must not be
+    force-collected past the driver/broadcast limits — without the
+    hint AQE picks the strategy from observed sizes."""
+    bound = upd_rows is not None and upd_rows <= cfg.merge_broadcast_max_rows
+    mb = F.broadcast if bound else (lambda df: df)
     upd = upd.join(probe.select(*KEY, "seen"), KEY, "inner")
     new_inserts = upd.filter(~F.col("seen")).select(_insert_cols(now, rnd, cfg))
     seen_upd = upd.filter(F.col("seen"))
 
-    hitkeys = fr.join(F.broadcast(seen_upd.select(*KEY)), KEY, "left_semi").select(*KEY)
-    fp_inserts = seen_upd.join(F.broadcast(hitkeys), KEY, "left_anti").select(
+    hitkeys = fr.join(mb(seen_upd.select(*KEY)), KEY, "left_semi").select(*KEY)
+    fp_inserts = seen_upd.join(mb(hitkeys), KEY, "left_anti").select(
         _insert_cols(now, rnd, cfg)
     )
-    matched = fr.alias("o").join(F.broadcast(seen_upd).alias("u"), KEY, "inner")
+    matched = fr.alias("o").join(mb(seen_upd).alias("u"), KEY, "inner")
     restarts = matched.filter(_restart_cond(now)).select(
         F.col("o.project").alias("project"),
         F.col("o.taskid").alias("taskid"),
