@@ -206,3 +206,20 @@ def test_cancel_tombstone_under_mor(spark, smoke_fixtures, tmp_path):
     assert eng.frontier().filter(f"taskid = '{tid}'").count() == 0
     # live lineage recomputed exactly on the (rare) cancel path
     assert _live_lineage(eng) == _actual_pid_counts(eng, MOR_CFG.n_partitions)
+
+
+def test_rounds_identical_with_broadcast_hints_disabled(spark, smoke_fixtures, tmp_path):
+    """Above the row bounds every forced broadcast hint drops and AQE
+    picks join strategies — results must be identical (the hints are
+    pure performance). Pins the 10^8-row-round code path at smoke
+    scale by setting all bounds to 0."""
+    hinted = _run(spark, smoke_fixtures, str(tmp_path / "hint"), MOR_CFG, rounds=3)
+    nohint_cfg = replace(
+        MOR_CFG,
+        merge_broadcast_max_rows=0,
+        robots_broadcast_max_rows=0,
+        fetch_broadcast_max_rows=0,
+    )
+    nohint = _run(spark, smoke_fixtures, str(tmp_path / "nohint"), nohint_cfg, rounds=3)
+    assert _rows(hinted) == _rows(nohint)
+    assert _live_lineage(hinted) == _live_lineage(nohint)
