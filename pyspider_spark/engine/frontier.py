@@ -24,9 +24,15 @@ ordered list of delta files** instead:
 - compaction folds a partition's deltas into a fresh base when the
   accumulated delta rows exceed ``frontier_compact_frac`` × live rows,
   when a partition collects ``frontier_max_delta_dirs`` files (read
-  amplification bound), or when the global key bound is hit. With
-  ``frontier_compact_frac = 0`` every round compacts — exactly the old
-  copy-on-write behavior.
+  amplification bound), or when the global key bound is hit. The
+  ratio/dir-bound folds are decided from the PREVIOUS round's lineage
+  and run **concurrently with the round's fetch/settle phase** (they
+  fold only committed pre-round files, so they race nothing; the round
+  then appends its own delta, leaving at most one outstanding dir per
+  folded partition). Two synchronous exceptions, both at write time:
+  ``frontier_compact_frac = 0`` (explicit copy-on-write mode — fold
+  everything every round) and the global key bound (the invariant that
+  keeps read-side delta-key broadcasts provably small).
 
 Write cost per steady round is therefore O(changed rows) + amortized
 O(frontier / compaction-period), instead of O(frontier) — measured in
@@ -119,7 +125,8 @@ def append_round_delta(
     entries map. Returns (delta rows per pid, inserted rows per pid) —
     from parquet footers / one small Arrow column read; drives exact
     incremental live-row lineage and the compaction triggers."""
-    from pyspider_spark.engine.round import _parquet_rows, _parquet_value_counts
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
 
     delta_rows: dict[int, int] = {}
     new_rows: dict[int, int] = {}
@@ -132,8 +139,11 @@ def append_round_delta(
         d = os.path.join(delta_dir, name)
         ent = entries.setdefault(p, {"base": None, "deltas": []})
         ent["deltas"] = list(ent["deltas"]) + [snap.rel(d)]
-        delta_rows[p] = _parquet_rows(d)
-        new_rows[p] = _parquet_value_counts(d, "is_new").get(True, 0)
+        # one read per pid dir: row count + inserted count off the
+        # single small bool column
+        col = pq.read_table(d, columns=["is_new"])["is_new"]
+        delta_rows[p] = len(col)
+        new_rows[p] = int(pc.sum(col.cast("int32")).as_py() or 0)
     return delta_rows, new_rows
 
 

@@ -500,6 +500,31 @@ class CrawlEngine:
         paused: set[str] = set() if changed else set(state.get("paused", []))
 
         fr_dirs = self._frontier_dirs(man)
+        # exact incremental live-row lineage (per pid), loaded PRE-round:
+        # inserts add, settles/restarts replace, cancels recomputed
+        # exactly post-write; also drives the concurrent compaction
+        # decision below (fold the PREVIOUS rounds' deltas while this
+        # round's fetch pipeline runs — the fold never reads this
+        # round's delta, so the two are independent jobs)
+        lin_prev = (man or {}).get("lineage", {}) or {}
+        live = {int(p): int(v) for p, v in (lin_prev.get("frontier_pid_rows") or {}).items()}
+        if not live and fr_dirs:
+            # legacy (pre-MoR) manifest: bases are exact, no deltas yet
+            live = {
+                p: _parquet_rows(snap.abspath(e["base"]))
+                for p, e in fr_dirs.items()
+                if e["base"]
+            }
+        delta_tot = {
+            int(p): int(v) for p, v in (lin_prev.get("frontier_delta_rows") or {}).items()
+        }
+        # frac == 0 is the explicit copy-on-write mode: fold THIS
+        # round's delta synchronously at write time (below) instead
+        pre_due = (
+            FR.compaction_due(fr_dirs, live, delta_tot, cfg)
+            if cfg.frontier_compact_frac > 0
+            else []
+        )
         follows = self._read(man, "follows", S.RAW_UPDATE_SCHEMA)
         hs_dirs = self._host_state_dirs(man)
         host_state = self._read_host_state(man, hs_dirs)
@@ -568,27 +593,42 @@ class CrawlEngine:
         # rounds/rX/blobs — a crash-resume over a legacy snapshot must
         # not overwrite-delete referenced .bin files.
         blobs_dir = snap.table_dir(r, "blobs_tbl")
-        (
-            spark.read.parquet(probe_abs)
-            .filter(F.col("taskid").isNull())
-            .select("pid", "bloom_blob", "cuckoo_blob", "n_keys")
-            .write.mode("overwrite")
-            .parquet(blobs_dir)
-        )
-        blobs_rel = snap.rel(blobs_dir)
-        for pid, n in _parquet_pid_nkeys(blobs_dir).items():
-            ent = dict(blob_meta.get(str(pid), {}))
-            ent.pop("bloom", None)
-            ent.pop("cuckoo", None)
-            ent.update(
-                table=blobs_rel,
-                n_keys=n,
-                capacity=ent.get("capacity", cfg.bloom_expected_keys),
+
+        def _write_blobs_tbl() -> None:
+            """Small independent job + footer read — runs concurrent
+            with the probe footer pass and the merge job below (joined
+            before the manifest commit needs blob_meta)."""
+            (
+                spark.read.parquet(probe_abs)
+                .filter(F.col("taskid").isNull())
+                .select("pid", "bloom_blob", "cuckoo_blob", "n_keys")
+                .write.mode("overwrite")
+                .parquet(blobs_dir)
             )
-            blob_meta[str(pid)] = ent
-        pid_counts = _parquet_value_counts(probe_abs, "pid")
-        touched_u = sorted(int(p) for p in pid_counts)
-        cancel_counts = _parquet_value_counts(probe_abs, "cancel")
+            blobs_rel = snap.rel(blobs_dir)
+            for pid, n in _parquet_pid_nkeys(blobs_dir).items():
+                ent = dict(blob_meta.get(str(pid), {}))
+                ent.pop("bloom", None)
+                ent.pop("cuckoo", None)
+                ent.update(
+                    table=blobs_rel,
+                    n_keys=n,
+                    capacity=ent.get("capacity", cfg.bloom_expected_keys),
+                )
+                blob_meta[str(pid)] = ent
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        blob_pool = ThreadPoolExecutor(max_workers=1)
+        f_blobs = blob_pool.submit(_write_blobs_tbl)
+        # ONE Arrow pass over (pid, cancel): the update-touched
+        # partition set and the cancel totals (reused by the rare
+        # cancel-lineage recompute below)
+        pc_counts = _parquet_group_counts(probe_abs, ["pid", "cancel"])
+        touched_u = sorted({int(p) for p, _c in pc_counts})
+        cancel_counts: dict[bool, int] = {}
+        for (_p, c), n in pc_counts.items():
+            cancel_counts[c] = cancel_counts.get(c, 0) + n
         had_cancels = cancel_counts.get(True, 0) > 0
 
         probe_df = spark.read.parquet(probe_abs).filter(F.col("taskid").isNotNull())
@@ -707,16 +747,47 @@ class CrawlEngine:
         )
         tables = dict((man or {}).get("tables", {}))
         sched_rel = self._write(schedule_log, r, "schedule")
-        n_sched = _parquet_rows(snap.abspath(sched_rel))
         # project bucket consumption = post-budget scheduled counts (the
         # reference consumes one token per *dispatched* task) — free
-        # from the schedule footers, mirrored by the simulator.
+        # from the schedule footers, mirrored by the simulator; the
+        # schedule size (fetch-join broadcast bound) is their sum —
+        # one Arrow pass for both.
         proj_counts = _parquet_value_counts(snap.abspath(sched_rel), "project")
+        n_sched = sum(proj_counts.values())
         proj_buckets_next = dict(proj_buckets)
         for name, cnt in proj_counts.items():
             if name in proj_tok and cnt > 0:
                 proj_buckets_next[name] = (proj_tok[name] - cnt, now)
         mark("schedule")
+
+        # --- concurrent compaction (Iceberg rewrite_data_files analog):
+        # folds the PRE-round bases+deltas of the due partitions while
+        # the fetch/settle pipeline runs (the dominant phase leaves
+        # executor gaps the fold fills; measured serial fold cost was
+        # most of frontier_write in the dense regime). It reads only
+        # committed round-(r-1) files — never this round's delta — and
+        # old dirs are kept until snapshot GC, so the round's other
+        # frontier reads are unaffected. Joined after the delta append.
+        comp_fut = None
+        comp_ents: dict[int, dict] = {}
+        if pre_due:
+            # compact() mutates its entries map — hand it a private copy
+            comp_ents = {
+                p: {"base": e["base"], "deltas": list(e["deltas"])}
+                for p, e in fr_dirs.items()
+            }
+            comp_pool = ThreadPoolExecutor(max_workers=1)
+            comp_fut = comp_pool.submit(
+                FR.compact,
+                spark,
+                snap,
+                comp_ents,
+                pre_due,
+                snap.table_dir(r, "frontier_base"),
+                cfg.n_partitions,
+                cfg.frontier_rowgroup_bytes,
+            )
+            comp_pool.shutdown(wait=False)
 
         # --- host_state carry-over (only hosts that actually scheduled;
         # merged into the pid-partitioned layout post-settle, below)
@@ -883,16 +954,26 @@ class CrawlEngine:
         from concurrent.futures import ThreadPoolExecutor
 
         settle_rel = self._write(settle, r, "settle")
-        # per-(project, kind) counts in one Arrow pass: totals for the
-        # metrics row, the A2 per-project counter table, AND the P6
-        # exception-burst detector
-        pk_counts = _parquet_group_counts(snap.abspath(settle_rel), ["project", "kind"])
-        kind_counts: dict[str, int] = {}
-        for (_proj, kind), cnt in pk_counts.items():
-            kind_counts[kind] = kind_counts.get(kind, 0) + cnt
-        settle_pids = set(
-            int(p) for p in _parquet_value_counts(snap.abspath(settle_rel), "pid")
+        # follows/results read the now-warm `fetched` cache and don't
+        # need the settle footers — start them before the driver's
+        # Arrow pass so the footer read overlaps executor work
+        pool = ThreadPoolExecutor(max_workers=3)
+        f_follows = pool.submit(self._write, new_follows, r, "follows")
+        f_results = pool.submit(self._write, results, r, "results")
+        # ONE Arrow pass over (project, kind, pid): totals for the
+        # metrics row, the A2 per-project counter table, the P6
+        # exception-burst detector, AND the touched-partition set for
+        # the frontier delta write
+        pkp_counts = _parquet_group_counts(
+            snap.abspath(settle_rel), ["project", "kind", "pid"]
         )
+        pk_counts: dict[tuple, int] = {}
+        kind_counts: dict[str, int] = {}
+        settle_pids: set[int] = set()
+        for (proj, kind, pid), cnt in pkp_counts.items():
+            pk_counts[(proj, kind)] = pk_counts.get((proj, kind), 0) + cnt
+            kind_counts[kind] = kind_counts.get(kind, 0) + cnt
+            settle_pids.add(int(pid))
         for name, p in self._proj_rows.items():
             if (
                 pk_counts.get((name, "err"), 0) >= cfg.exception_limit
@@ -929,9 +1010,6 @@ class CrawlEngine:
                     m[int(name.split("=", 1)[1])] = snap.rel(os.path.join(d, name))
             return {str(p): rel for p, rel in sorted(m.items())}
 
-        pool = ThreadPoolExecutor(max_workers=3)
-        f_follows = pool.submit(self._write, new_follows, r, "follows")
-        f_results = pool.submit(self._write, results, r, "results")
         f_host = pool.submit(_write_host_state_merge)
 
         # --- frontier delta write (merge-on-read): ONE small delta dir
@@ -1010,32 +1088,35 @@ class CrawlEngine:
         entries = {p: FR.norm_entry(e) for p, e in fr_dirs.items()}
         d_rows, ins_rows = FR.append_round_delta(snap, entries, delta_out)
 
-        # exact incremental live-row lineage (per pid): inserts add,
-        # settles/restarts replace; cancels recomputed exactly below
-        lin_prev = (man or {}).get("lineage", {}) or {}
-        live = {int(p): int(v) for p, v in (lin_prev.get("frontier_pid_rows") or {}).items()}
-        if not live and fr_dirs:
-            # legacy (pre-MoR) manifest: bases are exact, no deltas yet
-            live = {
-                p: _parquet_rows(snap.abspath(e["base"]))
-                for p, e in fr_dirs.items()
-                if e["base"]
-            }
+        # join the concurrent fold: a compacted pid's entry becomes the
+        # fresh base plus ONLY the delta this round appended (fr_dirs
+        # still holds the pre-round delta lists, so the fold-boundary
+        # is exact); its live count resets to the folded footer count
+        # before this round's inserts are applied below
+        compacted: list[int] = []
+        if comp_fut is not None:
+            comp_rows = comp_fut.result()
+            compacted = sorted(comp_rows)
+            for p, n in comp_rows.items():
+                n_prev = len((fr_dirs.get(p) or {}).get("deltas") or [])
+                rest = entries[p]["deltas"][n_prev:] if p in entries else []
+                new_base = (comp_ents.get(p) or {}).get("base")
+                if n == 0 and new_base is None and not rest:
+                    entries.pop(p, None)
+                    live.pop(p, None)
+                    delta_tot.pop(p, None)
+                    continue
+                entries[p] = {"base": new_base, "deltas": rest}
+                live[p] = n
+                delta_tot[p] = 0
         for p, n in ins_rows.items():
             live[p] = live.get(p, 0) + n
-        delta_tot = {
-            int(p): int(v) for p, v in (lin_prev.get("frontier_delta_rows") or {}).items()
-        }
         for p, n in d_rows.items():
             delta_tot[p] = delta_tot.get(p, 0) + n
         if had_cancels:
             # rare path: tombstones may or may not have hit live rows —
             # recompute those partitions' live counts exactly
-            cpids = sorted(
-                int(p)
-                for (p, c), _n in _parquet_group_counts(probe_abs, ["pid", "cancel"]).items()
-                if c
-            )
+            cpids = sorted(int(p) for (p, c), _n in pc_counts.items() if c)
             for p in cpids:
                 live[p] = 0
             for row in (
@@ -1046,13 +1127,32 @@ class CrawlEngine:
             ):
                 live[int(row["pid"])] = int(row["count"])
 
-        # --- compaction (Iceberg rewrite_data_files analog)
-        due = FR.compaction_due(entries, live, delta_tot, cfg)
+        # --- synchronous fold (write-time), three triggers:
+        #  * frac == 0 — explicit copy-on-write mode: everything, every round;
+        #  * the global key bound — the invariant that keeps the NEXT
+        #    round's read-side delta-key broadcasts provably small;
+        #  * base-less partitions (born this round — e.g. every
+        #    partition of the seed round): folding them costs only
+        #    O(this round's rows), gives them the exetime-clustered
+        #    base layout immediately, and keeps later rounds'
+        #    touch-only promise exact (an untouched BASED partition is
+        #    never rewritten by the round itself — ratio/dir-bound
+        #    folds of based partitions run on the concurrent path above)
+        fold_all = cfg.frontier_compact_frac == 0 or (
+            sum(delta_tot.values()) > cfg.frontier_delta_max_keys
+        )
+        due = sorted(
+            p
+            for p, e in entries.items()
+            if e["deltas"] and (fold_all or e["base"] is None)
+        )
         if due:
             comp_rows = FR.compact(
-                self.spark, snap, entries, due, snap.table_dir(r, "frontier_base"),
+                self.spark, snap, entries, due,
+                snap.table_dir(r, "frontier_base_sync"),
                 cfg.n_partitions, cfg.frontier_rowgroup_bytes,
             )
+            compacted = sorted(set(compacted) | set(comp_rows))
             for p, n in comp_rows.items():
                 delta_tot.pop(p, None)
                 if n == 0:
@@ -1129,6 +1229,8 @@ class CrawlEngine:
                 )
             ]
 
+        f_blobs.result()  # blob_meta complete before it is committed
+        blob_pool.shutdown()
         snap.commit(
             {
                 "round": r,
@@ -1153,7 +1255,7 @@ class CrawlEngine:
                     "frontier_delta_rows": {
                         str(p): n for p, n in sorted(delta_tot.items()) if n
                     },
-                    "compacted_pids": due,
+                    "compacted_pids": compacted,
                     "counts": {
                         "scheduled": n_sched,
                         "ok": n_ok,

@@ -38,7 +38,7 @@ def get_spark(
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
     sp = shuffle_partitions or max(8, 2 * cores)
     driver_mem = os.environ.get("SPARK_DRIVER_MEM") or _default_driver_mem()
-    return (
+    b = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(sp))
@@ -64,6 +64,19 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", driver_mem)
         .config("spark.driver.maxResultSize", "4g")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
+        # off by default (pure overhead for batch jobs); profiling
+        # tools (scripts/profile_round.py) flip it on to read per-stage
+        # executor metrics from the UI REST API
+        .config(
+            "spark.ui.enabled",
+            "true" if os.environ.get("SPARK_GRAFT_UI") else "false",
+        )
+        .config("spark.ui.showConsoleProgress", "false")
     )
+    # ad-hoc conf overrides for tuning experiments, e.g.
+    #   SPARK_GRAFT_CONF="spark.sql.constraintPropagation.enabled=false;k2=v2"
+    for kv in (os.environ.get("SPARK_GRAFT_CONF") or "").split(";"):
+        if "=" in kv:
+            k, _, v = kv.partition("=")
+            b = b.config(k.strip(), v.strip())
+    return b.getOrCreate()
