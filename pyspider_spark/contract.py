@@ -781,8 +781,10 @@ WHERE (project = 'p0' AND prnk <= 7)
 """
 
 
-def _sched_cols(df: DataFrame, url_col: str = "url", callback: str = "index_page") -> DataFrame:
-    """Wrap a (key, url) frame in the engine's schedule-row shape."""
+def _sched_cols(df: DataFrame, url_col: str = "url", callback="index_page") -> DataFrame:
+    """Wrap a (key, url) frame in the engine's schedule-row shape.
+    `callback` may be a literal name or a per-row Column."""
+    cb = F.lit(callback) if isinstance(callback, str) else callback
     return df.select(
         F.lit("p0").alias("project"),
         F.md5(url_col).alias("taskid"),
@@ -793,7 +795,7 @@ def _sched_cols(df: DataFrame, url_col: str = "url", callback: str = "index_page
         F.lit(0.0).alias("exetime"),
         F.lit(-1.0).alias("age"),
         F.lit(False).alias("auto_recrawl"),
-        F.lit(callback).alias("callback"),
+        cb.alias("callback"),
         F.lit(3).alias("retries_left"),
         F.col("k"),
     )
@@ -925,6 +927,64 @@ def q_data_url_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_DATA_URL_FETCH = """
 SELECT doc_id AS k, 200 AS code, CAST(length(text) AS INT) AS text_len
+FROM documents
+"""
+
+
+def q_js_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 — fetch_type='js' through the REAL fetch+dispatch path: even
+    docs carry a SCRIPTED link (``<a data-js-href>`` — linkless to the
+    plain extractor) and are scheduled toward the ``js_page`` handler,
+    whose batch renders the DOM first (``handlers.render_js``: scripted
+    hrefs materialize + a deterministic ``[rendered]`` marker lands in
+    the text); odd docs run the plain http handler. Oracle: closed-form
+    text/link arithmetic — the js rows gain exactly the scripted link
+    and the marker, the http rows don't."""
+    from pyspider_spark.config import RoundConfig
+    from pyspider_spark.engine.fetchx import fetch_and_extract
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    url = F.concat(F.lit("http://docs.example/d/"), F.col("doc_id"))
+    scripted = F.when(
+        F.col("doc_id") % 2 == 0, F.lit('<a data-js-href="/j/1">y</a>')
+    ).otherwise(F.lit(""))
+    html = F.encode(
+        F.concat(
+            F.lit("<html><body><p>"),
+            F.col("text"),
+            F.lit('</p><a href="/l/0">x</a>'),
+            scripted,
+            F.lit("</body></html>"),
+        ),
+        "utf-8",
+    )
+    pages = docs.select(url.alias("canon_url"), html.alias("html"))
+    sched = _sched_cols(
+        docs.select(F.col("doc_id").alias("k"), url.alias("url")),
+        callback=F.when(F.col("k") % 2 == 0, F.lit("js_page")).otherwise(
+            F.lit("index_page")
+        ),
+    )
+    out = fetch_and_extract(sched, pages, RoundConfig(n_partitions=4))
+    return out.select(
+        "k",
+        "code",
+        F.coalesce(F.length("text"), F.lit(0)).alias("text_len"),
+        F.coalesce(F.size("links"), F.lit(0)).alias("n_links"),
+    )
+
+
+# js rows (even doc_id): text gains "\ny" (the scripted anchor's text
+# node is there either way — but so is the anchor only on even docs)
+# plus "\n[rendered]" (11); links = /l/0 + revealed /j/1. http rows:
+# text gains "\nx" only, links = /l/0.
+ORACLE_JS_FETCH = """
+SELECT doc_id AS k, 200 AS code,
+       CASE WHEN doc_id % 2 = 0
+            THEN CAST(length(trim(text)) + 2 + 2 + 11 AS INT)
+            ELSE CAST(length(trim(text)) + 2 AS INT) END AS text_len,
+       CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS n_links
 FROM documents
 """
 
@@ -1753,6 +1813,7 @@ CUSTOM: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     "crawl_fetch_extract": (q_fetch_extract, ORACLE_FETCH_EXTRACT),
     "crawl_fetch_extract_bucketed": (q_fetch_extract_bucketed, ORACLE_FETCH_EXTRACT),
     "crawl_data_url_fetch": (q_data_url_fetch, ORACLE_DATA_URL_FETCH),
+    "crawl_js_fetch": (q_js_fetch, ORACLE_JS_FETCH),
     "crawl_merge_frontier": (q_merge_frontier, ORACLE_MERGE_FRONTIER),
     "dedup_simhash_pairs": (q_simhash_near_dup, ORACLE_SIMHASH_PAIRS),
     "corpus_export_shards": (q_corpus_export, ORACLE_CORPUS_EXPORT),

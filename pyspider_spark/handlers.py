@@ -58,6 +58,14 @@ class Handler:
     priority: int = 0  # @config defaults for tasks targeting this handler
     age: float = -1.0
     catch_status_code_error: bool = False
+    # @config(fetch_type='js') — tasks targeting this handler want the
+    # rendering fetcher (S9, ``fetcher/tornado_fetcher.py — fetch()``
+    # dispatch). In the simulated-join engine the render step runs
+    # inside the dispatch batch (render_js below); a production HTTP
+    # fetch stage routes fetch_type='js' rows to a headless-browser
+    # pool instead — the routing predicate is js_callbacks(), JVM-side.
+    fetch_type: str = "http"
+    js_script: str | None = None  # user script run at document-ready
 
 
 def _content_of(content: bytes | None, url: str) -> bytes | None:
@@ -65,6 +73,51 @@ def _content_of(content: bytes | None, url: str) -> bytes | None:
     if url.startswith("data:"):
         return dataurl_decode(url)[0]
     return content
+
+
+def render_js(
+    html: bytes | None,
+    url: str,
+    js_script: str | None = None,
+    fake: bool = True,
+) -> bytes | None:
+    """S9 — the js-rendering fetch step (``pyspider/fetcher/
+    phantomjs_fetcher.js`` + ``tornado_fetcher.py — phantomjs_fetch()``:
+    load the page, run ``js_script`` at document-ready, return the
+    rendered DOM's html).
+
+    ``fake=True`` (sandbox — no browser runtime in env) is a
+    DETERMINISTIC render analog exercising exactly what js fetch exists
+    for — content invisible to the plain fetcher becomes visible:
+
+    - scripted links materialize: ``data-js-href`` attributes become
+      real ``href`` (an ``<a data-js-href=...>`` is linkless to the
+      http path, a followable anchor after render);
+    - the rendered DOM differs from the wire bytes: a ``[rendered]``
+      marker paragraph lands before ``</body>``;
+    - ``js_script`` evaluation: a ``[js:<md5(script)[:8]>]`` paragraph
+      records the (content-addressed) script that ran.
+
+    ``fake=False`` is the production hook (headless chromium via a
+    browser pool inside the fetch stage's mapInPandas batch) — not
+    implementable in this environment."""
+    if html is None:
+        return None
+    if not fake:
+        raise NotImplementedError(
+            "real js rendering needs a headless-browser runtime "
+            "(playwright/chromium) — not available in this environment"
+        )
+    out = html.replace(b"data-js-href=", b"href=")
+    tail = b"<p>[rendered]</p>"
+    if js_script is not None:
+        import hashlib
+
+        tag = hashlib.md5(js_script.encode("utf-8")).hexdigest()[:8]
+        tail += b"<p>[js:" + tag.encode("ascii") + b"]</p>"
+    if b"</body>" in out:
+        return out.replace(b"</body>", tail + b"</body>", 1)
+    return out + tail
 
 
 # --- built-in handlers -------------------------------------------------
@@ -122,6 +175,16 @@ def h_catch_errors(content: bytes | None, url: str) -> HandlerResult:
     return HandlerResult(text=ext.text, links=ext.links)
 
 
+def h_js_page(content: bytes | None, url: str) -> HandlerResult:
+    """S9 fetch_type='js' handler: the dispatch batch renders the page
+    (scripted links + render marker) before the standard extraction —
+    the sandbox seam where a production fetch stage would hand over
+    browser-rendered html instead."""
+    rendered = render_js(_content_of(content, url), url)
+    ext = extract_page(rendered, url)
+    return HandlerResult(text=ext.text, links=ext.links)
+
+
 def h_strict_page(content: bytes | None, url: str) -> HandlerResult:
     """A deliberately-broken handler: always raises. Exercises the
     processor-exception path — track.process.exception capture (F11)
@@ -148,6 +211,10 @@ REGISTRY: dict[str, Handler] = {
             "catch_errors", h_catch_errors, follow_callback="index_page",
             catch_status_code_error=True,
         ),
+        Handler(
+            "js_page", h_js_page, follow_callback="detail_page",
+            fetch_type="js",
+        ),
         Handler("strict_page", h_strict_page),
     )
 }
@@ -161,6 +228,13 @@ def get(name: str | None) -> Handler:
 
 def catch_error_callbacks() -> list[str]:
     return sorted(h.name for h in REGISTRY.values() if h.catch_status_code_error)
+
+
+def js_callbacks() -> list[str]:
+    """Callbacks whose tasks want the rendering fetcher (S9) — the
+    JVM-side routing predicate a production fetch stage uses to split
+    its batch between the HTTP pool and the browser pool."""
+    return sorted(h.name for h in REGISTRY.values() if h.fetch_type == "js")
 
 
 def message_url(payload: str) -> str:

@@ -95,3 +95,38 @@ def test_catch_status_code_error_runs_on_failure():
 
 def test_catch_error_callbacks_listing():
     assert H.catch_error_callbacks() == ["catch_errors"]
+
+
+def test_render_js_reveals_scripted_links_and_marks():
+    html = b'<html><body><p>t</p><a data-js-href="/j/1">y</a></body></html>'
+    # plain path: the scripted anchor is linkless
+    plain = H.get("index_page").fn(html, "http://a.ex/p")
+    assert plain.links == []
+    # js path: the render materializes it and stamps the marker
+    res = H.get("js_page").fn(html, "http://a.ex/p")
+    assert res.links == ["http://a.ex/j/1"]
+    assert res.text == "t\ny\n[rendered]"
+
+
+def test_render_js_script_marker_content_addressed():
+    import hashlib
+
+    out = H.render_js(b"<body>x</body>", "http://a.ex/", js_script="window.scrollTo(0,9)")
+    tag = hashlib.md5(b"window.scrollTo(0,9)").hexdigest()[:8]
+    assert out == b"<body>x<p>[rendered]</p><p>[js:" + tag.encode() + b"]</p></body>"
+    # deterministic: same script, same bytes
+    assert out == H.render_js(b"<body>x</body>", "http://a.ex/", js_script="window.scrollTo(0,9)")
+
+
+def test_render_js_none_and_production_hook():
+    import pytest
+
+    assert H.render_js(None, "http://a.ex/") is None
+    with pytest.raises(NotImplementedError):
+        H.render_js(b"<body></body>", "http://a.ex/", fake=False)
+
+
+def test_js_callbacks_listing():
+    assert H.js_callbacks() == ["js_page"]
+    assert H.get("js_page").fetch_type == "js"
+    assert H.get("index_page").fetch_type == "http"
