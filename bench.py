@@ -272,6 +272,7 @@ def main(argv: list[str] | None = None) -> int:
             args.sf_dir,
             mult=max(args.pages_mult, 48),
             page_words=max(args.page_words, 1200),
+            host_rate=args.host_rate if args.host_rate is not None else 3000.0,
         )
 
     spark = _spark(args.cores)
@@ -430,7 +431,11 @@ def run_frontier_scale(
 
 
 def run_scaling(
-    sf_dir: str, mult: int = 48, page_words: int = 1200, seeds_div: int = 5
+    sf_dir: str,
+    mult: int = 48,
+    page_words: int = 1200,
+    seeds_div: int = 5,
+    host_rate: float = 3000.0,
 ) -> int:
     """North-rule scaling evidence: same job, same input, two
     parallelism levels in fresh JVMs. efficiency = (ups_32/ups_8)/4.
@@ -474,7 +479,7 @@ def run_scaling(
             "--seeds-div",
             str(seeds_div),
             "--host-rate",
-            "3000",
+            str(host_rate),
         ]
         p = subprocess.run(cmd, capture_output=True, text=True)
         if p.returncode != 0:
@@ -514,6 +519,7 @@ def run_scaling(
         "pages_mult": mult,
         "page_words": page_words,
         "seeds_div": seeds_div,
+        "host_rate": host_rate,
         "t_local8_s": results[8]["crawl"]["wall_s"],
         "t_local32_s": results[32]["crawl"]["wall_s"],
         "steady_urls_per_sec_local8": u8,
