@@ -552,22 +552,23 @@ class CrawlEngine:
             raw = raw.unionByName(ensure_raw_columns(cron_df))
 
         # persist: cancels/probe/merge all branch off this pipeline — the
-        # normalize (Python mapInPandas) + collapse (shuffle) must run once.
+        # normalize (Python mapInPandas) must run once.
         upd_all = normalize_updates(raw, cfg).persist(StorageLevel.MEMORY_AND_DISK)
         cancels = upd_all.filter(F.col("cancel")).dropDuplicates(["seen_k"])
+        # A4 collapse feeds ONLY the merge — built lazily here, it
+        # materializes inside the merge staging write over the warm
+        # upd_all cache, off the probe critical path (the probe needs
+        # just the distinct key set, below).
         upd = collapse_updates(upd_all.filter(~F.col("cancel"))).persist(
             StorageLevel.MEMORY_AND_DISK
         )
-        # Materialize both caches NOW with one action: the probe write
-        # below unions two branches (cancels ∪ upd) that both scan
-        # upd_all — against a COLD cache, AQE materializes each union
-        # branch as its own concurrent cache-build job, so the Python
-        # normalize pass runs twice and races itself for cores
+        # Materialize the normalize cache NOW with one action: the probe
+        # write below unions two branches (cancels ∪ keys) that both
+        # scan upd_all — against a COLD cache, AQE materializes each
+        # union branch as its own concurrent cache-build job, so the
+        # Python normalize pass runs twice and races itself for cores
         # (measured as duplicate concurrent jobs in the event log).
-        # One count() = one normalize + one collapse, then every branch
-        # reads warm. The count also bounds the merge-side broadcast
-        # hints (merge_broadcast_max_rows).
-        n_upd = upd.count()
+        upd_all.count()
 
         # --- seen probe (J2/J3): pure cogrouped-map; previous blobs are
         # BLOB_SCHEMA rows (per-round parquet tables) shuffled to their
@@ -578,8 +579,16 @@ class CrawlEngine:
         blob_df = self._maybe_rebuild_blooms(man, fr_dirs, blob_df, blob_meta, r)
 
         probe_cols = ["project", "taskid", "seen_k", "pid"]
+        # the probe consumes only keys: distinct over the key columns
+        # yields exactly one row per (project, taskid) — seen_k/pid are
+        # key-functional (taskid = md5(canon_url); seen_k/pid derive
+        # from canon/host) — identical to the collapsed key set without
+        # waiting on the full-width collapse aggregation
         probe_in = cancels.select(*probe_cols, "cancel").unionByName(
-            upd.select(*probe_cols).withColumn("cancel", F.lit(False))
+            upd_all.filter(~F.col("cancel"))
+            .select(*probe_cols)
+            .distinct()
+            .withColumn("cancel", F.lit(False))
         )
         probe_out = probe_and_update(probe_in, blob_df, cfg)
         probe_rel = self._write(probe_out, r, "probe")
@@ -630,6 +639,12 @@ class CrawlEngine:
         for (_p, c), n in pc_counts.items():
             cancel_counts[c] = cancel_counts.get(c, 0) + n
         had_cancels = cancel_counts.get(True, 0) > 0
+        # collapsed row count == distinct non-cancel keys == the probe
+        # table's cancel=false rows up to the ≤ n_partitions state rows
+        # (which also carry cancel=false) — only used to bound the
+        # merge-side broadcast hints, so the tiny overcount is safe and
+        # saves the count() job the bound used to cost
+        n_upd = cancel_counts.get(False, 0)
 
         probe_df = spark.read.parquet(probe_abs).filter(F.col("taskid").isNotNull())
         mark("normalize_probe")
