@@ -473,6 +473,30 @@ class CrawlEngine:
 
     # ---- one round ----------------------------------------------------------
     def run_round(self, r: int, inject: DataFrame | None = None) -> dict:
+        """One crawl round. Wraps the body so the background futures
+        (blob-table write, concurrent compaction) are cancelled/joined
+        when any phase between their submission and the commit raises —
+        otherwise their Spark jobs keep running detached and their own
+        failures mask the phase error (round-2 ADVICE)."""
+        self._bg_futs: list = []
+        try:
+            return self._run_round_impl(r, inject)
+        except BaseException:
+            for f in self._bg_futs:
+                f.cancel()
+                try:
+                    # join (don't abandon): a compaction fold mid-flight
+                    # must finish or fail before the caller sees the
+                    # error, so no detached jobs outlive the round; its
+                    # own exception is secondary — the phase error wins
+                    f.result(timeout=600)
+                except Exception:
+                    pass
+            raise
+        finally:
+            self._bg_futs = []
+
+    def _run_round_impl(self, r: int, inject: DataFrame | None = None) -> dict:
         cfg, snap, spark = self.cfg, self.snap, self.spark
         now = cfg.now(r)
         t_start = time.time()
@@ -630,6 +654,7 @@ class CrawlEngine:
 
         blob_pool = ThreadPoolExecutor(max_workers=1)
         f_blobs = blob_pool.submit(_write_blobs_tbl)
+        self._bg_futs.append(f_blobs)
         # ONE Arrow pass over (pid, cancel): the update-touched
         # partition set and the cancel totals (reused by the rare
         # cancel-lineage recompute below)
@@ -803,6 +828,7 @@ class CrawlEngine:
                 cfg.frontier_rowgroup_bytes,
             )
             comp_pool.shutdown(wait=False)
+            self._bg_futs.append(comp_fut)
 
         # --- host_state carry-over (only hosts that actually scheduled;
         # merged into the pid-partitioned layout post-settle, below)

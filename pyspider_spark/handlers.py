@@ -175,14 +175,29 @@ def h_catch_errors(content: bytes | None, url: str) -> HandlerResult:
     return HandlerResult(text=ext.text, links=ext.links)
 
 
+def _js_page(content: bytes | None, url: str, script: str | None) -> HandlerResult:
+    rendered = render_js(_content_of(content, url), url, js_script=script)
+    ext = extract_page(rendered, url)
+    return HandlerResult(text=ext.text, links=ext.links)
+
+
 def h_js_page(content: bytes | None, url: str) -> HandlerResult:
     """S9 fetch_type='js' handler: the dispatch batch renders the page
     (scripted links + render marker) before the standard extraction —
     the sandbox seam where a production fetch stage would hand over
-    browser-rendered html instead."""
-    rendered = render_js(_content_of(content, url), url)
-    ext = extract_page(rendered, url)
-    return HandlerResult(text=ext.text, links=ext.links)
+    browser-rendered html instead. The document-ready script is the
+    REGISTERED handler's ``js_script`` (none for this default one), so
+    a handler declaring one actually runs it through dispatch."""
+    return _js_page(content, url, REGISTRY["js_page"].js_script)
+
+
+def h_js_scripted(content: bytes | None, url: str) -> HandlerResult:
+    """fetch_type='js' + js_script handler (``base_handler.py —
+    @config(js_script=...)``; the README's scroll-to-bottom example):
+    render runs the script, leaving the content-addressed ``[js:<md5>]``
+    marker in the rendered DOM — proving the script reached the render
+    step through normal dispatch, not only via direct test calls."""
+    return _js_page(content, url, REGISTRY["js_scripted"].js_script)
 
 
 def h_strict_page(content: bytes | None, url: str) -> HandlerResult:
@@ -214,6 +229,11 @@ REGISTRY: dict[str, Handler] = {
         Handler(
             "js_page", h_js_page, follow_callback="detail_page",
             fetch_type="js",
+        ),
+        Handler(
+            "js_scripted", h_js_scripted, follow_callback="detail_page",
+            fetch_type="js",
+            js_script="window.scrollTo(0, document.body.scrollHeight);",
         ),
         Handler("strict_page", h_strict_page),
     )

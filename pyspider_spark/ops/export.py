@@ -99,7 +99,7 @@ def export_corpus(
         from pyspider_spark.ops.dedup import simhash_keep_table
 
         fps = out.select(F.col(key_col).alias("doc_id"), "simhash")
-        keep = simhash_keep_table(fps, bits=32, max_hamming=max_hamming)
+        keep = simhash_keep_table(fps, bits=64, max_hamming=max_hamming)
         canon = keep.filter(F.col("doc_id") == F.col("dup_of")).select(
             F.col("doc_id").alias(key_col)
         )

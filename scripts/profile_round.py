@@ -114,7 +114,7 @@ def main() -> int:
             unattributed["cpu_ms"] += int(cpu_ms)
             unattributed["stages"] += 1
             continue
-        d = per_phase.setdefault(label, {"run_ms": 0, "cpu_ms": 0, "stages": 0, "task_s_max": 0.0})
+        d = per_phase.setdefault(label, {"run_ms": 0, "cpu_ms": 0, "stages": 0})
         d["run_ms"] += run_ms
         d["cpu_ms"] += int(cpu_ms)
         d["stages"] += 1

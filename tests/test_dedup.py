@@ -92,13 +92,58 @@ def test_chain_cluster_propagates_min_label(spark):
 
 def _brute_hamming(fps: dict[int, int], max_h: int):
     ids = sorted(fps)
+    m = (1 << 64) - 1  # mask: signed int64 fingerprints xor correctly
     out = set()
     for i, a in enumerate(ids):
         for b in ids[i + 1 :]:
-            h = bin(fps[a] ^ fps[b]).count("1")
+            h = bin((fps[a] ^ fps[b]) & m).count("1")
             if h <= max_h:
                 out.add((a, b, h))
     return out
+
+
+def _i64(u: int) -> int:
+    """unsigned 64-bit → the signed value a Spark long carries."""
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def test_simhash_64bit_signed_fingerprints(spark):
+    """bits=64 (the analyze_text default): fingerprints with bit 63
+    set are NEGATIVE int64s — banding and the bit_count verify must be
+    representation-exact across the sign wrap (round-2 verdict #2)."""
+    from pyspider_spark.ops.dedup import simhash_near_dup
+
+    base = _i64(0xDEAD_BEEF_CAFE_F00D)  # bit 63 set → negative
+    fps = {i: _i64(((i * 0x9E3779B97F4A7C15) ^ (i << 40)) & ((1 << 64) - 1))
+           for i in range(1, 40)}
+    fps[100] = base
+    fps[101] = _i64((base & ((1 << 64) - 1)) ^ 0b101)  # hamming 2, low band
+    fps[102] = _i64((base & ((1 << 64) - 1)) ^ (0b11 << 62))  # hamming 2, sign band
+    fps[103] = _i64((base & ((1 << 64) - 1)) ^ ((1 << 63) | (1 << 1)))  # crosses sign
+    fps[104] = _i64((base & ((1 << 64) - 1)) ^ 0b1111)  # hamming 4 (dropped)
+    df = spark.createDataFrame(
+        [(k, v) for k, v in fps.items()], "doc_id long, simhash long"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_near_dup(df, bits=64, max_hamming=3).collect()
+    }
+    assert got == _brute_hamming(fps, 3)
+    assert (100, 101, 2) in got and (100, 102, 2) in got and (100, 103, 2) in got
+    assert not any(a == 100 and b == 104 for a, b, _ in got)
+
+
+def test_simhash_64bit_band_width():
+    """At the 64-bit default with max_hamming=3 the pigeonhole bands
+    are 16 bits wide — the web-scale requirement (8-bit bands from
+    32-bit fingerprints collide ~N/256 times per value at 10^9 docs)."""
+    bits, max_hamming = 64, 3
+    n_bands = max_hamming + 1
+    width = bits // n_bands
+    assert width == 16
+    # last band takes the remainder; all bands cover exactly 64 bits
+    widths = [width] * (n_bands - 1) + [bits - width * (n_bands - 1)]
+    assert sum(widths) == 64 and min(widths) >= 16
 
 
 def test_simhash_near_dup_exact_vs_brute_force(spark):

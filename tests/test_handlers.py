@@ -108,6 +108,23 @@ def test_render_js_reveals_scripted_links_and_marks():
     assert res.text == "t\ny\n[rendered]"
 
 
+def test_js_script_reaches_render_through_dispatch():
+    """A handler registered with js_script must actually run it when
+    dispatched by name (round-2 ADVICE: the field was declared but
+    never passed through h_js_page)."""
+    import hashlib
+
+    html = b"<html><body><p>t</p></body></html>"
+    h = H.get("js_scripted")
+    assert h.js_script  # the registered example script
+    tag = hashlib.md5(h.js_script.encode()).hexdigest()[:8]
+    res = h.fn(html, "http://a.ex/p")
+    assert res.text == f"t\n[rendered]\n[js:{tag}]"
+    # the scriptless default handler stays marker-free (its contract
+    # oracle pins the no-script rendered text)
+    assert H.get("js_page").fn(html, "http://a.ex/p").text == "t\n[rendered]"
+
+
 def test_render_js_script_marker_content_addressed():
     import hashlib
 
@@ -127,6 +144,6 @@ def test_render_js_none_and_production_hook():
 
 
 def test_js_callbacks_listing():
-    assert H.js_callbacks() == ["js_page"]
+    assert H.js_callbacks() == ["js_page", "js_scripted"]
     assert H.get("js_page").fetch_type == "js"
     assert H.get("index_page").fetch_type == "http"

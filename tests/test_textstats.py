@@ -32,9 +32,23 @@ def test_simhash_locality():
     h0 = analyze_text(base)[3]
     h1 = analyze_text(near)[3]
     h2 = analyze_text(far)[3]
-    d01 = bin(h0 ^ h1).count("1")
-    d02 = bin(h0 ^ h2).count("1")
+    m = (1 << 64) - 1  # fingerprints are signed int64 wraps of 64 bits
+    d01 = bin((h0 ^ h1) & m).count("1")
+    d02 = bin((h0 ^ h2) & m).count("1")
     assert d01 < d02  # near-dup closer in hamming space than unrelated
+
+
+def test_simhash_is_64_bit_signed():
+    """The fingerprint must exercise the full 64-bit space (round-2
+    verdict: 32-bit saturates banding at web scale) and fit a Spark
+    long (signed wrap)."""
+    seen_high = False
+    for i in range(40):
+        sh = analyze_text(f"document body variant {i} with words " * 10)[3]
+        assert -(1 << 63) <= sh < (1 << 63)
+        if (sh & ((1 << 64) - 1)) >> 32:
+            seen_high = True
+    assert seen_high  # high 32 bits are populated, not zero-padded 32-bit
 
 
 def test_engine_analyze_mode(spark, smoke_fixtures, tmp_path):
@@ -84,7 +98,8 @@ def _analyze_reference(text: str) -> tuple[int, str, float, int]:
     from zlib import crc32
 
     from pyspider_spark.ops.textstats import (
-        _BITS32,
+        _BITS64,
+        _CRC_HI_INIT,
         _PUNCT,
         _TOKEN_RE,
         STOP_DE,
@@ -113,11 +128,15 @@ def _analyze_reference(text: str) -> tuple[int, str, float, int]:
         6,
     )
     u = len(counts)
-    hs = np.fromiter((crc32(t.encode()) for t in counts), dtype=np.uint32, count=u)
+    bts = [t.encode() for t in counts]
+    lo = np.fromiter((crc32(t) for t in bts), dtype=np.uint64, count=u)
+    hi = np.fromiter((crc32(t, _CRC_HI_INIT) for t in bts), dtype=np.uint64, count=u)
+    hs = (hi << np.uint64(32)) | lo
     w = np.fromiter(counts.values(), dtype=np.int64, count=u)
-    bits = ((hs[:, None] >> _BITS32) & np.uint32(1)).astype(np.int64)
+    bits = ((hs[:, None] >> _BITS64) & np.uint64(1)).astype(np.int64)
     acc = ((bits * 2 - 1) * w[:, None]).sum(axis=0)
-    simhash = int(((acc > 0).astype(np.uint32) << _BITS32).sum())
+    uh = int(((acc > 0).astype(np.uint64) << _BITS64).sum(dtype=np.uint64))
+    simhash = uh - (1 << 64) if uh >= (1 << 63) else uh
     return n, lang, quality, simhash
 
 
