@@ -51,19 +51,28 @@ def _sf_of(sf_dir: str) -> float:
         return -1.0
 
 
-def _spark(cores: int):
+def _spark(cores: int, executors: int | None = None):
     from pyspider_spark.engine.session import get_spark
 
-    # bench recipe pins the big local-mode heap (the sandbox has 125 GB;
-    # library default derives a smaller one from MemAvailable)
-    os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
+    if executors is None:
+        # bench recipe pins the big local-mode heap (the sandbox has
+        # 125 GB; library default derives a smaller one from MemAvailable)
+        os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
 
     # shuffle partitions FIXED across parallelism levels: the north rule
     # ships one artifact unchanged at N and 4N executors, and partition
     # count is a property of the data size, not the cluster size —
     # scaling it with cores would quadruple per-stage task overhead on
     # the bigger cluster and corrupt the efficiency measurement.
-    return get_spark(cores=cores, shuffle_partitions=64, app_name=f"bench_local{cores}")
+    name = (
+        f"bench_cluster{executors}x4" if executors is not None else f"bench_local{cores}"
+    )
+    return get_spark(
+        cores=cores,
+        shuffle_partitions=64,
+        app_name=name,
+        n_executors=executors,
+    )
 
 
 def ensure_fixtures(
@@ -240,6 +249,20 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--host-rate", type=float, default=None, help="per-host token rate/burst override")
     ap.add_argument("--scaling", action="store_true", help="run crawl at local[8] and local[32], report efficiency")
     ap.add_argument(
+        "--cluster",
+        action="store_true",
+        help="scaling legs on local-cluster[2,4,*] vs local-cluster[8,4,*] "
+        "(real executor JVMs, --py-files-shipped engine) instead of "
+        "local[8]/local[32] threads; with --crawl-only, --executors "
+        "selects one leg",
+    )
+    ap.add_argument(
+        "--executors",
+        type=int,
+        default=None,
+        help="run the crawl leg on local-cluster[N,4,*] executor JVMs",
+    )
+    ap.add_argument(
         "--bucketed",
         action="store_true",
         help="crawl against the canon_url-bucketed pages layout with the "
@@ -251,7 +274,27 @@ def main(argv: list[str] | None = None) -> int:
         help="measure steady-round wall at 1M vs 8M frontier rows "
         "(touch-only MERGE evidence); prints one JSON line",
     )
+    ap.add_argument(
+        "--migration-demo",
+        action="store_true",
+        help="auto-split evidence: bounded run must self-migrate with "
+        "crawl metrics identical to the unbounded twin",
+    )
     args = ap.parse_args(argv)
+
+    if args.migration_demo:
+        spark = _spark(args.cores)
+        fx = ensure_fixtures(
+            spark,
+            args.sf_dir,
+            mult=args.pages_mult,
+            page_words=args.page_words,
+            seeds_div=args.seeds_div,
+        )
+        out = run_migration_demo(spark, fx)
+        print(json.dumps(out))
+        spark.stop()
+        return 0
 
     if args.frontier_scale:
         spark = _spark(args.cores)
@@ -273,9 +316,10 @@ def main(argv: list[str] | None = None) -> int:
             mult=max(args.pages_mult, 48),
             page_words=max(args.page_words, 1200),
             host_rate=args.host_rate if args.host_rate is not None else 3000.0,
+            cluster=args.cluster,
         )
 
-    spark = _spark(args.cores)
+    spark = _spark(args.cores, executors=args.executors)
     out: dict = {
         "metric": "contract queries + 3-round crawl wall time",
         "unit": "sec",
@@ -430,12 +474,101 @@ def run_frontier_scale(
     return out
 
 
+def run_migration_demo(
+    spark,
+    fixtures_dir: str,
+    cold_rows: int = 2_000_000,
+    bound: int = 150_000,
+    rounds: int = 3,
+) -> dict:
+    """Auto-split evidence (max_rows_per_partition default ON): a
+    frontier whose partitions outgrow the bound must self-migrate
+    (n_partitions doubling between rounds) with crawl metrics
+    IDENTICAL to an unbounded twin run — the cold mass and the
+    re-bucketing must not perturb the crawl. Writes the comparison as
+    one JSON line (recorded in BENCH/migration_bench.json)."""
+    from pyspark.sql import functions as F
+
+    from pyspider_spark.config import RoundConfig
+    from pyspider_spark.engine.round import CrawlEngine
+
+    seeds_path = os.path.join(fixtures_dir, "seeds.parquet")
+    project = (
+        spark.read.parquet(os.path.join(fixtures_dir, "projects.parquet"))
+        .select("project")
+        .first()["project"]
+    )
+    runs: dict[str, dict] = {}
+    for label, cap in (("bounded", bound), ("unbounded", None)):
+        state = os.path.join(fixtures_dir, f"state_mig_{label}_{os.getpid()}")
+        shutil.rmtree(state, ignore_errors=True)
+        cfg = RoundConfig(
+            rate=200.0,
+            burst=200.0,
+            n_partitions=8,
+            round_budget=None,
+            analyze=True,
+            pages_precanonical=True,
+            bloom_expected_keys=cold_rows // 8 + 100_000,
+            max_rows_per_partition=cap,
+        )
+        eng = CrawlEngine(
+            spark,
+            state,
+            cfg,
+            pages_path=os.path.join(fixtures_dir, "pages.parquet"),
+            projects_path=os.path.join(fixtures_dir, "projects.parquet"),
+            robots_path=os.path.join(fixtures_dir, "robots.parquet"),
+        )
+        seeds = spark.read.parquet(seeds_path)
+        cold = (
+            spark.range(cold_rows)
+            .select(
+                F.concat(
+                    F.lit("http://cold"),
+                    (F.col("id") % 4096).cast("string"),
+                    F.lit(".test/x"),
+                    F.col("id").cast("string"),
+                ).alias("url"),
+                F.lit(project).alias("project"),
+                F.lit(cfg.t0 + 1e9).alias("exetime"),
+            )
+            .withColumn("canon_url", F.col("url"))
+        )
+        t0 = time.time()
+        metrics = eng.run_rounds(1 + rounds, seeds=seeds, inject_at={0: cold})
+        runs[label] = {
+            "wall_s": round(time.time() - t0, 1),
+            "migrations": [
+                {"after_round": m["round"], **m["migration"]}
+                for m in metrics
+                if "migration" in m
+            ],
+            "frontier_pid_max": [m["frontier_pid_max"] for m in metrics],
+            "counts": [
+                {k: m[k] for k in ("scheduled", "ok", "new_urls", "frontier")}
+                for m in metrics
+            ],
+        }
+        shutil.rmtree(state, ignore_errors=True)
+    return {
+        "metric": "auto-split migration demo (max_rows_per_partition)",
+        "cold_rows": cold_rows,
+        "bound": bound,
+        "bounded": runs["bounded"],
+        "unbounded": runs["unbounded"],
+        "migration_fired": bool(runs["bounded"]["migrations"]),
+        "counts_identical": runs["bounded"]["counts"] == runs["unbounded"]["counts"],
+    }
+
+
 def run_scaling(
     sf_dir: str,
     mult: int = 48,
     page_words: int = 1200,
     seeds_div: int = 5,
     host_rate: float = 3000.0,
+    cluster: bool = False,
 ) -> int:
     """North-rule scaling evidence: same job, same input, two
     parallelism levels in fresh JVMs. efficiency = (ups_32/ups_8)/4.
@@ -481,6 +614,13 @@ def run_scaling(
             "--host-rate",
             str(host_rate),
         ]
+        if cluster:
+            # N → 4N REAL executor JVMs (4 cores each): separate heaps,
+            # GCs, block managers and IPC — the faithful single-box
+            # analog of the north rule's two cluster sizes; the engine
+            # zip ships to the executors via addPyFile (the spark-submit
+            # --py-files twin), so both legs run the same artifact
+            cmd += ["--executors", str(cores // 4)]
         p = subprocess.run(cmd, capture_output=True, text=True)
         if p.returncode != 0:
             # surface the child's tail before failing — a swallowed
@@ -513,7 +653,12 @@ def run_scaling(
     eff = (u32 / u8) / 4 if u8 > 0 else 0.0
     ceiling = _machine_cpu_ceiling()  # after legs: hottest state
     report = {
-        "metric": "crawl scaling efficiency local[8] -> local[32]",
+        "metric": (
+            "crawl scaling efficiency local-cluster[2,4] -> local-cluster[8,4]"
+            if cluster
+            else "crawl scaling efficiency local[8] -> local[32]"
+        ),
+        "mode": "executor-jvms" if cluster else "threads",
         "unit": "ratio",
         "sf": _sf_of(sf_dir),
         "pages_mult": mult,

@@ -34,6 +34,25 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--burst", type=float, default=10.0)
     ap.add_argument("--stop-when-quiet", action="store_true")
     ap.add_argument(
+        "--fetch-stage",
+        choices=("join", "http"),
+        default="join",
+        help="'join' = simulated fetch vs the pages table (sandbox); "
+        "'http' = production transport-injectable HTTP stage",
+    )
+    ap.add_argument(
+        "--transport",
+        default=None,
+        help="http stage transport factory 'module:callable' "
+        "(default: real urllib transport)",
+    )
+    ap.add_argument(
+        "--transport-arg",
+        default=None,
+        help="argument for the transport factory (e.g. routes JSON "
+        "path for file_transport)",
+    )
+    ap.add_argument(
         "--migrate-to",
         type=int,
         default=None,
@@ -48,11 +67,17 @@ def main(argv: list[str] | None = None) -> int:
     from pyspider_spark.engine.session import get_spark
 
     spark = get_spark(cores=args.cores, app_name="crawl_rounds")
+    fetch_kw: dict = {"fetch_stage": args.fetch_stage}
+    if args.transport:
+        fetch_kw["http_transport"] = args.transport
+    if args.transport_arg:
+        fetch_kw["http_transport_arg"] = args.transport_arg
     cfg = RoundConfig(
         round_budget=args.budget,
         n_partitions=args.n_partitions,
         rate=args.rate,
         burst=args.burst,
+        **fetch_kw,
     )
     fx = args.fixtures.rstrip("/")
     eng = CrawlEngine(

@@ -58,8 +58,16 @@ class RoundConfig:
     # n_partitions via migrate_partitions (touch-only rewrites and blob
     # parallelism track corpus growth without operator action); None
     # disables auto-split — lineage still reports frontier_pid_max as
-    # the manual signal.
-    max_rows_per_partition: int | None = None
+    # the manual signal. Default ON at 4M rows/partition (round-2
+    # verdict "Next round" #8): a frontier partition is also a bloom/
+    # cuckoo blob build domain and a compaction rewrite unit, and at
+    # ~150 B/row 4M rows is a ~600 MB base file — past that, rewrite
+    # cost and blob build latency stop amortizing, while 10^10 rows /
+    # 4M ≈ 2 500 partitions stays well within driver bookkeeping. The
+    # bench regimes (≤ 7.2 M frontier over 32 pids) never cross it, so
+    # steady-state timing is unchanged; BENCH/migration_bench.json
+    # shows a crossing run self-migrating with identical crawl metrics.
+    max_rows_per_partition: int | None = 4_000_000
     # --- frontier merge-on-read layout (Iceberg MoR analog) ---------
     # A round appends one small delta file per touched partition
     # (changed rows only: inserts, P4 restarts, settles, cancel
@@ -111,6 +119,24 @@ class RoundConfig:
     # picks the strategy — 10^8-row rounds at the 10^10 design point
     # must not force-collect the batch to the driver.
     merge_broadcast_max_rows: int = 20_000_000
+    # --- fetch stage selection (S7) --------------------------------
+    # "join": the sandbox's simulated fetch (left equi-join vs the
+    # pages table — the driver-mandated substitution; engine/fetchx).
+    # "http": the production transport-injectable HTTP stage
+    # (engine/fetch_http — mapInPandas batch fetcher with redirect/
+    # conditional/gzip/cookie semantics from tornado_fetcher.py).
+    # Both stages emit identical columns and share the extraction
+    # tail, pinned equivalent by tests/test_fetch_http.py.
+    fetch_stage: str = "join"
+    # transport factory "module:callable", resolved inside the Python
+    # worker (a string ships with the plan; no closure pickling):
+    # urllib_transport = real stdlib HTTP; file_transport = scripted
+    # routes JSON (mock/replay), arg = its path.
+    http_transport: str = "pyspider_spark.engine.fetch_http:urllib_transport"
+    http_transport_arg: str | None = None
+    http_pool: int = 20  # per-task fetch concurrency (fetcher poolsize analog)
+    http_timeout: float = 120.0  # tornado_fetcher default timeout
+    max_redirects: int = 5  # tornado_fetcher default max_redirects
     respect_robots: bool = True
     # robots dim join: broadcast only when the dim's row count is KNOWN
     # (parquet footers) and under this bound — a web-scale robots table

@@ -38,7 +38,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 TABLES = [
     "region",
@@ -1853,7 +1853,261 @@ WHERE window_start + 300 <= (SELECT epoch(max(ts)) - 600 FROM events)
 """
 
 
+# =====================================================================
+# Engine-backed twins of former COMMON_SQL rows (round-2 verdict "Next
+# round" #7): the Spark side now drives the REAL engine kernel /
+# expression / join the round pipeline runs, while the oracle keeps the
+# original SQL spec — the rows can fail again. The entries below are
+# POPPED from COMMON_SQL so the remaining COMMON rows are pure spec
+# pins (politeness_topk has the stateful engine twin, seen_antijoin has
+# probe_verified, follows_collapse feeds the real collapse in
+# merge_frontier, cron_due's tick math is driver-side python by design,
+# lease_requeue is the documented spec-only O4 row, dedup_exact is the
+# export path's trivial groupBy).
+# =====================================================================
+
+_CONVERTED_ORACLE: dict[str, str] = {
+    name: COMMON_SQL.pop(name)
+    for name in (
+        "crawl_taskid_md5",
+        "crawl_host_extract",
+        "crawl_candidates",
+        "crawl_priority_rank",
+        "crawl_retry_delay",
+        "crawl_status_count",
+        "crawl_fetch_join",
+        "results_select_page",
+    )
+}
+
+
+def _frontier_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(f"WITH {FRONTIER_CTE} SELECT * FROM frontier")
+
+
+def q_taskid_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 via the REAL kernel: ``kernels.canon.taskid_series`` (the md5
+    taskid every normalize pass derives) as an Arrow batch, not a SQL
+    md5() call."""
+    from pyspider_spark.kernels.canon import taskid_series
+
+    tid = F.pandas_udf(taskid_series, "string")
+    return _frontier_df(spark, sf_dir).select(
+        "k", "url", tid("url").alias("taskid")
+    )
+
+
+def q_host_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 via the REAL kernel: ``kernels.canon.host_series`` (urlsplit
+    hostname, the politeness key) vs the oracle's regex spec."""
+    from pyspider_spark.kernels.canon import host_series
+
+    hst = F.pandas_udf(host_series, "string")
+    return _frontier_df(spark, sf_dir).select("k", hst("url").alias("host"))
+
+
+def q_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2/P3 via the REAL round expression: ``stages.candidates_filter``
+    — the exact predicate the driver applies to the resolved frontier
+    every round (status/exetime pushdown + project gate)."""
+    from pyspider_spark.engine.stages import candidates_filter
+
+    fr = _frontier_df(spark, sf_dir)
+    out = candidates_filter(fr, NOW, ["p0", "p1"])
+    return out.select("k", "url", "host", "priority", "exetime", "project")
+
+
+def q_priority_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 via the REAL total order: ``stages.order_cols()`` — the same
+    Column list the politeness pre-rank and the schedule log use
+    (priority DESC, exetime ASC, taskid ASC, project ASC; the oracle's
+    md5(url) tiebreak equals taskid by construction)."""
+    from pyspider_spark.engine.stages import order_cols
+    from pyspider_spark.kernels.canon import taskid_series
+
+    tid = F.pandas_udf(taskid_series, "string")
+    fr = (
+        _frontier_df(spark, sf_dir)
+        .filter(F.col("status") == 1)
+        .withColumn("taskid", tid("url"))
+    )
+    w = Window.partitionBy("host").orderBy(*order_cols())
+    return fr.select(
+        "k", "host", "priority", F.row_number().over(w).alias("rnk")
+    )
+
+
+def q_retry_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 via the REAL settle expression: ``stages.retry_delay_expr``
+    over retries_left = max_retries - retried (the engine's counter
+    direction)."""
+    from pyspider_spark.config import RoundConfig
+    from pyspider_spark.engine.stages import retry_delay_expr
+
+    cfg = RoundConfig()
+    fr = _frontier_df(spark, sf_dir).withColumn(
+        "retries_left", F.lit(cfg.max_retries) - F.col("retried")
+    )
+    return fr.select(
+        "k", "retried", retry_delay_expr(cfg).alias("retry_delay_s")
+    )
+
+
+def q_status_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 via the REAL rollup: ``engine.results.status_counts``."""
+    from pyspider_spark.engine.results import status_counts
+
+    fr = _frontier_df(spark, sf_dir)
+    return status_counts(fr).withColumnRenamed("count", "cnt")
+
+
+def q_fetch_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 via the REAL fetch join: ``fetchx.fetch_join`` — the
+    payload-stationary broadcast decomposition the round runs (hits
+    inner-join + key-only semi scan + anti misses + rebalance + code
+    derivation), with the page payload riding as the html column."""
+    from pyspider_spark.config import RoundConfig
+    from pyspider_spark.engine.fetchx import fetch_join
+
+    fr = _frontier_df(spark, sf_dir)
+    sched = fr.filter(F.col("k") % 2 == 1).select(
+        "k", "url", F.col("url").alias("canon_url"), "host",
+        F.lit("index_page").alias("callback"),
+    )
+    pages = fr.filter(F.col("k") % 3 != 0).select(
+        F.col("url").alias("canon_url"),
+        F.floor("totalprice").cast("bigint").cast("string").cast("binary").alias("html"),
+    )
+    out = fetch_join(sched, pages, RoundConfig(), sched_rows=None)
+    return out.select(
+        "k",
+        "url",
+        "code",
+        F.coalesce(
+            F.col("html").cast("string").cast("bigint"), F.lit(0)
+        ).alias("content_len"),
+    )
+
+
+def q_results_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 via the REAL paging op: ``engine.results.select_results``
+    (TakeOrdered head + bounded row_number — the plan
+    tests/test_plans.py pins); offset 20, limit 20."""
+    from pyspider_spark.engine.results import select_results
+
+    fr = _frontier_df(spark, sf_dir).filter(F.col("status") == 2)
+    res = fr.select(
+        F.md5("url").alias("taskid"), "url", F.col("exetime").alias("updatetime")
+    )
+    paged = select_results(res, offset=20, limit=20)
+    w = Window.orderBy(F.desc("updatetime"), F.asc("taskid"))
+    return paged.withColumn("rn", (F.row_number().over(w) + 20).cast("int"))
+
+
+ORACLE_HTTP_FETCH = """
+SELECT doc_id AS k,
+  CASE WHEN doc_id % 7 <> 0 AND doc_id % 5 = 0 THEN 404 ELSE 200 END AS code,
+  (doc_id % 7 = 0) AS redirected,
+  CASE WHEN doc_id % 7 <> 0 AND doc_id % 5 = 0
+       THEN 0 ELSE length(trim(text)) + 2 END AS text_len,
+  CASE WHEN doc_id % 7 <> 0 AND doc_id % 5 = 0 THEN 0 ELSE 1 END AS n_links
+FROM documents
+"""
+
+
+def q_http_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7's PRODUCTION half — the transport-injectable HTTP fetch stage
+    (``engine/fetch_http.fetch_http_and_extract``) end-to-end: the gate
+    scripts a mock web from `documents` as a file_transport routes file
+    (the driver-side collect builds the TEST APPARATUS — the mock
+    server — not the data path; executors stream the schedule through
+    mapInPandas + thread-pool fetches as in production) and drives
+    redirect chains (doc_id%7=0: 302 → mirror), gzip bodies (%3=0),
+    404s (%5=0) and plain 200s through the REAL chain logic
+    (``tornado_fetcher.py — http_fetch/handle_response`` semantics).
+    Oracle: closed-form arithmetic — redirected rows must land on the
+    mirror's content, gzip rows must decode to the same text, misses
+    404. Routes live in a local tmp file; on a real cluster the same
+    file ships via SparkFiles/shared storage."""
+    import hashlib as _hl
+    import json as _json
+    import os as _os
+    import tempfile as _tf
+
+    from pyspider_spark.config import RoundConfig
+    from pyspider_spark.engine.fetch_http import fetch_http_and_extract
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text").collect()
+    routes: dict[str, dict] = {}
+    for r_ in docs:
+        d, text = int(r_["doc_id"]), r_["text"]
+        body = (
+            f'<html><body><p>{text}</p><a href="/l/0">x</a></body></html>'
+        ).encode("utf-8")
+        url = f"http://docs.example/d/{d}"
+        if d % 7 == 0:
+            routes[url] = {
+                "status": 302,
+                "headers": {"location": f"http://docs.example/m/{d}"},
+            }
+            routes[f"http://docs.example/m/{d}"] = {
+                "status": 200,
+                "body_hex": body.hex(),
+            }
+        elif d % 5 == 0:
+            pass  # no route → transport 404
+        elif d % 3 == 0:
+            import gzip as _gz
+
+            routes[url] = {
+                "status": 200,
+                "headers": {"content-encoding": "gzip"},
+                "body_hex": _gz.compress(body, mtime=0).hex(),
+            }
+        else:
+            routes[url] = {"status": 200, "body_hex": body.hex()}
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    path = _os.path.join(_tf.gettempdir(), f"pyspider_http_gate_{tag}.json")
+    with open(path, "w") as f:
+        _json.dump(routes, f, sort_keys=True)
+
+    cfg = RoundConfig(
+        fetch_stage="http",
+        http_transport="pyspider_spark.engine.fetch_http:file_transport",
+        http_transport_arg=path,
+        http_pool=8,
+    )
+    docs_df = spark.table("documents").select("doc_id", "text")
+    url = F.concat(F.lit("http://docs.example/d/"), F.col("doc_id"))
+    sched = _sched_cols(docs_df.select(F.col("doc_id").alias("k"), url.alias("url")))
+    out = fetch_http_and_extract(sched, cfg)
+    return out.select(
+        "k",
+        "code",
+        F.col("redirect_url").isNotNull().alias("redirected"),
+        F.coalesce(F.length("text"), F.lit(0)).alias("text_len"),
+        F.coalesce(F.size("links"), F.lit(0)).alias("n_links"),
+    )
+
+
+ORACLE_RESULTS_PAGE = _CONVERTED_ORACLE["results_select_page"].replace(
+    "SELECT taskid, url, updatetime, rn FROM numbered",
+    "SELECT taskid, url, updatetime, CAST(rn AS INT) AS rn FROM numbered",
+)
+
+
 CUSTOM: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "crawl_taskid_md5": (q_taskid_md5, _CONVERTED_ORACLE["crawl_taskid_md5"]),
+    "crawl_host_extract": (q_host_extract, _CONVERTED_ORACLE["crawl_host_extract"]),
+    "crawl_candidates": (q_candidates, _CONVERTED_ORACLE["crawl_candidates"]),
+    "crawl_priority_rank": (q_priority_rank, _CONVERTED_ORACLE["crawl_priority_rank"]),
+    "crawl_retry_delay": (q_retry_delay, _CONVERTED_ORACLE["crawl_retry_delay"]),
+    "crawl_status_count": (q_status_count, _CONVERTED_ORACLE["crawl_status_count"]),
+    "crawl_fetch_join": (q_fetch_join, _CONVERTED_ORACLE["crawl_fetch_join"]),
+    "results_select_page": (q_results_page, ORACLE_RESULTS_PAGE),
+    "crawl_http_fetch": (q_http_fetch, ORACLE_HTTP_FETCH),
     "crawl_window_rollup": (q_window_rollup, ORACLE_WINDOW_ROLLUP),
     "stream_window_counts": (q_stream_window_counts, ORACLE_STREAM_WINDOWS),
     "stream_seen_filter": (q_stream_seen_filter, ORACLE_STREAM_SEEN),

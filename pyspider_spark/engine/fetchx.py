@@ -161,7 +161,26 @@ def fetch_and_extract(
     cfg: RoundConfig,
     sched_rows: int | None = None,
 ) -> DataFrame:
-    """J1 + F5/F7: left join on canon_url, derive status code, extract.
+    """J1 + F5/F7: fetch_join (below) + the shared extraction tail."""
+    f = fetch_join(sched, pages_canon, cfg, sched_rows=sched_rows)
+    # schema parity with the HTTP stage (engine/fetch_http.py): the
+    # simulated join has no wire metadata, so the track columns ride
+    # as nulls (to_json drops null fields — track bytes unchanged)
+    for c in FETCH_META_COLS:
+        f = f.withColumn(c, F.lit(None).cast("string"))
+    return extract_outputs(f, list(sched.columns), cfg, meta_cols=FETCH_META_COLS)
+
+
+def fetch_join(
+    sched: DataFrame,
+    pages_canon: DataFrame,
+    cfg: RoundConfig,
+    sched_rows: int | None = None,
+) -> DataFrame:
+    """J1: left join on canon_url, derive status code — THE fetch join
+    the round's fetch stage runs (also driven directly by the
+    ``crawl_fetch_join`` gate); output is the schedule columns +
+    (html, code).
 
     Join strategy: the schedule side is bounded (≤ round_budget rows of
     ~200 bytes) while pages carry the html payload — the payload side
@@ -238,11 +257,29 @@ def fetch_and_extract(
         .when(F.col("html").isNotNull(), F.lit(FETCH_OK))
         .otherwise(F.lit(FETCH_NOT_FOUND))
     )
-    f = f.withColumn("code", code)
-    # proc_ok (U3 @catch_status_code_error): the handler also runs on
-    # non-200 rows of flagged callbacks, and settles them SUCCESS — the
-    # reference's processor derives ok from the callback outcome, not
-    # the fetch code (processor/processor.py — on_task).
+    return f.withColumn("code", code)
+
+
+# wire metadata appended by every fetch stage (nulls on the simulated
+# join; real values from engine/fetch_http.py) — recorded in track.fetch
+FETCH_META_COLS = ("redirect_url", "fetch_headers", "fetch_error")
+
+
+def extract_outputs(
+    f: DataFrame,
+    sched_columns: list[str],
+    cfg: RoundConfig,
+    meta_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """The dispatch/extraction/analysis tail SHARED by the simulated
+    join and the HTTP stage: input is schedule columns + (html, code
+    [+ meta_cols]); output appends proc_ok/text/links/messages/
+    proc_error (+ analysis when cfg.analyze).
+
+    proc_ok (U3 @catch_status_code_error): the handler also runs on
+    non-200 rows of flagged callbacks, and settles them SUCCESS — the
+    reference's processor derives ok from the callback outcome, not
+    the fetch code (processor/processor.py — on_task)."""
     from pyspider_spark.handlers import catch_error_callbacks
 
     catch = catch_error_callbacks()
@@ -257,8 +294,9 @@ def fetch_and_extract(
     # reference derives task ok from the callback outcome
     proc_ok = (dispatchable & F.col("_ext.error").isNull()).alias("proc_ok")
     out = f.select(
-        *[c for c in sched.columns],
+        *sched_columns,
         "code",
+        *meta_cols,
         proc_ok,
         F.col("_ext.text").alias("text"),
         F.col("_ext.links").alias("links"),

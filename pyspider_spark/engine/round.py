@@ -49,11 +49,13 @@ from pyspider_spark.engine.seen import probe_and_update, rebuild_blooms
 from pyspider_spark.engine.snapshot import SnapshotStore
 from pyspider_spark.engine.stages import (
     KEY,
+    candidates_filter,
     order_cols,
     collapse_updates,
     ensure_raw_columns,
     merge_frontier_delta,
     normalize_updates,
+    retry_delay_expr,
 )
 
 SCHEDULABLE = ("RUNNING", "DEBUG")
@@ -734,11 +736,7 @@ class CrawlEngine:
             for n, p in self._proj_rows.items()
             if p["status"] in SCHEDULABLE and n not in paused
         ]
-        cands = fr2.filter(
-            (F.col("status") == ACTIVE)
-            & (F.col("exetime") <= F.lit(now))
-            & F.col("project").isin(schedulable)
-        )
+        cands = candidates_filter(fr2, now, schedulable)
 
         # --- politeness (O1/O2/O3/J4) + per-project second cap (J5):
         # project bucket state is tiny (one float pair per project) and
@@ -841,10 +839,20 @@ class CrawlEngine:
             )
         )
 
-        # --- fetch + extract (J1, F5/F7)
-        fetched = fetch_and_extract(
-            sched, self.pages_canon, cfg, sched_rows=n_sched
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        # --- fetch + extract (J1, F5/F7): stage selected by config —
+        # the simulated join (sandbox) or the production HTTP stage
+        # (transport-injectable; engine/fetch_http). Identical output
+        # schema, shared extraction tail.
+        if cfg.fetch_stage == "http":
+            from pyspider_spark.engine.fetch_http import fetch_http_and_extract
+
+            fetched = fetch_http_and_extract(sched, cfg).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+        else:
+            fetched = fetch_and_extract(
+                sched, self.pages_canon, cfg, sched_rows=n_sched
+            ).persist(StorageLevel.MEMORY_AND_DISK)
         # proc_ok, not raw code: @catch_status_code_error callbacks
         # settle SUCCESS from the handler outcome (U3)
         ok = fetched.filter(F.col("proc_ok"))
@@ -913,14 +921,7 @@ class CrawlEngine:
         # --- settlement (steps 9 + robots BAD): per-key status deltas.
         # Each row carries its pid so the frontier rewrite below knows
         # exactly which partitions the settles touch.
-        retry_case = F.lit(float(cfg.retry_delay[""]))
-        for retried_n, delay in sorted(
-            (k, v) for k, v in cfg.retry_delay.items() if k != ""
-        ):
-            retry_case = F.when(
-                F.lit(cfg.max_retries) - F.col("retries_left") == retried_n,
-                F.lit(float(delay)),
-            ).otherwise(retry_case)
+        retry_case = retry_delay_expr(cfg)
 
         # track capture (F11): the status-pack trace the reference
         # writes back into taskdb rows (track.fetch / track.process),
@@ -930,6 +931,14 @@ class CrawlEngine:
                 F.struct(
                     (F.col("code") == 200).alias("ok"),
                     F.col("code").alias("status_code"),
+                    # wire metadata from the HTTP stage (nulls on the
+                    # simulated join — to_json drops them, so join-path
+                    # track bytes are unchanged)
+                    F.col("redirect_url").alias("redirect_url"),
+                    F.from_json("fetch_headers", "map<string,string>").alias(
+                        "headers"
+                    ),
+                    F.col("fetch_error").alias("error"),
                 ).alias("fetch"),
                 F.struct(
                     F.col("proc_ok").alias("ok"),

@@ -28,18 +28,38 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     app_name: str = "pyspider_spark",
+    n_executors: int | None = None,
+    executor_cores: int = 4,
+    executor_mem_mb: int = 10240,
 ) -> SparkSession:
     """local[cores] session; AQE + Arrow on.
 
+    ``n_executors`` switches to ``local-cluster[n, executor_cores,
+    executor_mem_mb]`` — REAL executor JVMs with separate heaps,
+    block managers and IPC/serialization boundaries, the closest
+    single-box analog of an N-executor cluster (the scaling bench's
+    N → 4N legs; ``cores`` is ignored there). The engine package ships
+    to the executors as a zip via ``addPyFile`` — the runtime twin of
+    ``spark-submit --py-files dist/pyspider_spark.zip``
+    (BASELINE.json:14), so the measured legs run the same shipped
+    artifact a real cluster would.
+
     On a real cluster the same engine code runs via spark-submit
-    --py-files (BASELINE.json:14) — only master/shuffle-partition conf
-    changes; nothing in the engine assumes local mode.
+    --py-files — only master/shuffle-partition conf changes; nothing
+    in the engine assumes local mode.
     """
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
     sp = shuffle_partitions or max(8, 2 * cores)
     driver_mem = os.environ.get("SPARK_DRIVER_MEM") or _default_driver_mem()
+    if n_executors is not None:
+        master = f"local-cluster[{n_executors},{executor_cores},{executor_mem_mb}]"
+        # executor JVMs get their own heap; the driver no longer hosts
+        # the executor threads, so it needs far less than local-mode
+        driver_mem = os.environ.get("SPARK_DRIVER_MEM") or "8g"
+    else:
+        master = f"local[{cores}]"
     b = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(sp))
         .config("spark.sql.adaptive.enabled", "true")
@@ -75,8 +95,25 @@ def get_spark(
     )
     # ad-hoc conf overrides for tuning experiments, e.g.
     #   SPARK_GRAFT_CONF="spark.sql.constraintPropagation.enabled=false;k2=v2"
+    if n_executors is not None:
+        b = b.config("spark.executor.memory", f"{executor_mem_mb}m")
     for kv in (os.environ.get("SPARK_GRAFT_CONF") or "").split(";"):
         if "=" in kv:
             k, _, v = kv.partition("=")
             b = b.config(k.strip(), v.strip())
-    return b.getOrCreate()
+    spark = b.getOrCreate()
+    if n_executors is not None:
+        # ship the engine to the executor python workers — the runtime
+        # twin of `spark-submit --py-files dist/pyspider_spark.zip`
+        import subprocess
+        import sys
+
+        root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        zip_path = os.path.join(root, "dist", "pyspider_spark.zip")
+        subprocess.run(
+            [sys.executable, os.path.join(root, "scripts", "make_dist.py")],
+            check=True,
+            capture_output=True,
+        )
+        spark.sparkContext.addPyFile(zip_path)
+    return spark

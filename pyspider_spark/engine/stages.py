@@ -38,6 +38,37 @@ def order_cols() -> list[Column]:
     (Function, not constant: Columns need an active SparkContext.)"""
     return [F.desc("priority"), F.asc("exetime"), F.asc("taskid"), F.asc("project")]
 
+def candidates_filter(
+    frontier: DataFrame, now: float, schedulable_projects: list[str]
+) -> DataFrame:
+    """P2/P3 + project gate — THE schedulable-candidates expression the
+    round driver applies to the resolved frontier (``scheduler/
+    scheduler.py — _check_task_due``): ACTIVE status, due exetime,
+    project RUNNING/not-paused. Plain Catalyst predicates ⇒ parquet
+    pushdown + row-group min/max skipping on the exetime-clustered
+    frontier bases."""
+    return frontier.filter(
+        (F.col("status") == ACTIVE)
+        & (F.col("exetime") <= F.lit(now))
+        & F.col("project").isin(schedulable_projects)
+    )
+
+
+def retry_delay_expr(cfg: RoundConfig) -> Column:
+    """F8 — the retry-delay CASE the settle stage applies
+    (``scheduler/scheduler.py — DEFAULT_RETRY_DELAY``): delay keyed by
+    retried count = max_retries - retries_left, '' key as default."""
+    expr: Column = F.lit(float(cfg.retry_delay[""]))
+    for retried_n, delay in sorted(
+        (k, v) for k, v in cfg.retry_delay.items() if k != ""
+    ):
+        expr = F.when(
+            F.lit(cfg.max_retries) - F.col("retries_left") == retried_n,
+            F.lit(float(delay)),
+        ).otherwise(expr)
+    return expr
+
+
 _RAW_DEFAULTS: dict[str, object] = {
     "canon_url": None,
     "project": "test_project",

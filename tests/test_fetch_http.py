@@ -1,0 +1,372 @@
+"""engine/fetch_http — the production HTTP fetch stage.
+
+Three layers, mirroring the reference's ``tests/test_fetcher.py``
+coverage (``pyspider/fetcher/tornado_fetcher.py`` semantics):
+
+1. ``fetch_one`` chain logic against a scripted transport: redirect
+   chains (relative Location, 303→GET, 307 preserves method), the
+   max_redirects 599 path, per-chain cookies, gzip bodies,
+   etag/If-None-Match → 304, transport timeout → 599.
+2. The REAL ``UrllibTransport`` against a live local ``http.server``
+   with scripted routes — actual sockets, actual read timeout.
+3. The Spark stage + engine: ``fetch_stage``'s output columns, and a
+   full engine round at ``fetch_stage="http"`` (file_transport routes
+   synthesized from the fixture pages) whose metrics must EQUAL the
+   simulated-join round on the same corpus; track.fetch must record
+   redirect_url/headers for a redirected row.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import threading
+
+import pytest
+
+from pyspider_spark.engine.fetch_http import (
+    DictTransport,
+    TransportTimeout,
+    UrllibTransport,
+    fetch_one,
+)
+
+
+class ChainTransport:
+    """Scripted transport that records every request it sees."""
+
+    def __init__(self, routes):
+        self.routes = routes  # url -> (status, headers, body) | "timeout"
+        self.log: list[tuple[str, str, dict]] = []
+
+    def request(self, method, url, headers, timeout):
+        from pyspider_spark.engine.fetch_http import TResponse
+
+        self.log.append((method, url, dict(headers)))
+        ent = self.routes[url]
+        if ent == "timeout":
+            raise TransportTimeout("scripted timeout")
+        status, hdrs, body = ent
+        return TResponse(status, {k.lower(): v for k, v in hdrs.items()}, body)
+
+
+def test_redirect_chain_followed_and_recorded():
+    t = ChainTransport(
+        {
+            "http://a.ex/start": (301, {"Location": "/hop"}, b""),
+            "http://a.ex/hop": (302, {"Location": "http://b.ex/final"}, b""),
+            "http://b.ex/final": (200, {}, b"<body>done</body>"),
+        }
+    )
+    r = fetch_one(t, "http://a.ex/start")
+    assert r["code"] == 200 and r["content"] == b"<body>done</body>"
+    assert r["url"] == "http://b.ex/final"
+    assert r["redirect_url"] == "http://b.ex/final"  # != original → recorded
+    # relative Location resolved against the hop url
+    assert [u for _, u, _ in t.log] == [
+        "http://a.ex/start", "http://a.ex/hop", "http://b.ex/final",
+    ]
+    # no redirect → redirect_url None
+    assert fetch_one(t, "http://b.ex/final")["redirect_url"] is None
+
+
+def test_redirect_method_semantics():
+    t = ChainTransport(
+        {
+            "http://a.ex/303": (303, {"Location": "/done"}, b""),
+            "http://a.ex/307": (307, {"Location": "/done"}, b""),
+            "http://a.ex/done": (200, {}, b"ok"),
+        }
+    )
+    fetch_one(t, "http://a.ex/303", method="POST")
+    assert t.log[-1][0] == "GET"  # 303 switches to GET
+    t.log.clear()
+    fetch_one(t, "http://a.ex/307", method="POST")
+    assert t.log[-1][0] == "POST"  # 307 preserves the method
+
+
+def test_max_redirects_is_599():
+    t = ChainTransport(
+        {
+            "http://a.ex/loop": (302, {"Location": "/loop"}, b""),
+        }
+    )
+    r = fetch_one(t, "http://a.ex/loop", max_redirects=3)
+    assert r["code"] == 599
+    assert "redirect" in r["error"]
+    assert len(t.log) == 4  # initial + 3 allowed hops
+
+
+def test_cookies_carried_across_chain():
+    t = ChainTransport(
+        {
+            "http://a.ex/set": (302, {"Location": "/next", "Set-Cookie": "sid=42; Path=/"}, b""),
+            "http://a.ex/next": (200, {}, b"ok"),
+        }
+    )
+    fetch_one(t, "http://a.ex/set", cookies={"pre": "1"})
+    hdrs = t.log[-1][2]
+    assert hdrs["Cookie"] == "pre=1; sid=42"
+
+
+def test_gzip_body_decoded():
+    t = ChainTransport(
+        {
+            "http://a.ex/gz": (
+                200,
+                {"Content-Encoding": "gzip"},
+                gzip.compress(b"<body>unzipped</body>"),
+            ),
+        }
+    )
+    r = fetch_one(t, "http://a.ex/gz")
+    assert r["content"] == b"<body>unzipped</body>"
+    assert "gzip" in t.log[0][2]["Accept-Encoding"]
+
+
+def test_etag_conditional_and_304():
+    t = ChainTransport({"http://a.ex/c": (304, {"etag": 'W/"v1"'}, b"")})
+    r = fetch_one(t, "http://a.ex/c", etag='W/"v1"', last_modified="Mon, 01 Jan 2026 00:00:00 GMT")
+    sent = t.log[0][2]
+    assert sent["If-None-Match"] == 'W/"v1"'
+    assert sent["If-Modified-Since"].startswith("Mon")
+    assert r["code"] == 304 and r["content"] is None
+
+
+def test_transport_timeout_is_599():
+    t = ChainTransport({"http://slow.ex/": "timeout"})
+    r = fetch_one(t, "http://slow.ex/")
+    assert r["code"] == 599 and "timeout" in r["error"]
+
+
+# --- layer 2: the real urllib transport against a live server ----------
+
+
+@pytest.fixture(scope="module")
+def http_server():
+    """Scripted localhost server: redirects, gzip, etag, slow, 404."""
+    import http.server
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):  # keep pytest output clean
+            pass
+
+        def do_GET(self):
+            if self.path == "/redir":
+                self.send_response(302)
+                self.send_header("Location", "/target")
+                self.send_header("Set-Cookie", "hop=1")
+                self.end_headers()
+            elif self.path == "/target":
+                body = b"<body>landed cookies=" + (
+                    self.headers.get("Cookie") or ""
+                ).encode() + b"</body>"
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path == "/gz":
+                body = gzip.compress(b"<body>via gzip</body>")
+                self.send_response(200)
+                self.send_header("Content-Encoding", "gzip")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path == "/etag":
+                if self.headers.get("If-None-Match") == '"v7"':
+                    self.send_response(304)
+                    self.end_headers()
+                else:
+                    body = b"<body>fresh</body>"
+                    self.send_response(200)
+                    self.send_header("ETag", '"v7"')
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+            elif self.path == "/slow":
+                import time
+
+                time.sleep(5)
+                self.send_response(200)
+                self.end_headers()
+            else:
+                self.send_response(404)
+                self.end_headers()
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_urllib_redirect_cookie_chain(http_server):
+    r = fetch_one(UrllibTransport(), f"{http_server}/redir")
+    assert r["code"] == 200
+    assert b"cookies=hop=1" in r["content"]
+    assert r["redirect_url"] == f"{http_server}/target"
+    assert json.loads(json.dumps(r["headers"]))  # plain serializable dict
+
+
+def test_urllib_gzip(http_server):
+    r = fetch_one(UrllibTransport(), f"{http_server}/gz")
+    assert r["content"] == b"<body>via gzip</body>"
+
+
+def test_urllib_etag_304(http_server):
+    first = fetch_one(UrllibTransport(), f"{http_server}/etag")
+    assert first["code"] == 200 and first["headers"]["etag"] == '"v7"'
+    second = fetch_one(UrllibTransport(), f"{http_server}/etag", etag='"v7"')
+    assert second["code"] == 304 and second["content"] is None
+
+
+def test_urllib_404_and_timeout(http_server):
+    assert fetch_one(UrllibTransport(), f"{http_server}/nope")["code"] == 404
+    r = fetch_one(UrllibTransport(), f"{http_server}/slow", timeout=1.0)
+    assert r["code"] == 599 and "timeout" in r["error"]
+
+
+def test_urllib_connection_refused_is_599():
+    r = fetch_one(UrllibTransport(), "http://127.0.0.1:9/")  # discard port
+    assert r["code"] == 599 and r["error"]
+
+
+# --- layer 3: the Spark stage + engine equivalence ---------------------
+
+
+def _routes_from_pages(pages_path: str, out_json: str) -> None:
+    """Synthesize file_transport routes from the fixture pages table:
+    200 + html for normal hosts, scripted 599 for slow.example — the
+    exact corpus the simulated join serves."""
+    import pyarrow.parquet as pq
+
+    from pyspider_spark.kernels.canon import canonicalize, url_host
+
+    routes = {}
+    for row in pq.read_table(pages_path, columns=["url", "html"]).to_pylist():
+        cu = canonicalize(row["url"])
+        if url_host(cu) == "slow.example":
+            routes[cu] = {"status": 599}
+        else:
+            routes[cu] = {
+                "status": 200,
+                "headers": {"content-type": "text/html"},
+                "body_hex": (row["html"] or b"").hex(),
+            }
+    with open(out_json, "w") as f:
+        json.dump(routes, f)
+
+
+def test_fetch_stage_columns_and_dispatch(spark, tmp_path):
+    """The stage appends html/code/meta columns and the shared tail
+    dispatches exactly like the join stage."""
+    from pyspider_spark.config import RoundConfig
+    from pyspider_spark.engine.fetch_http import fetch_http_and_extract
+
+    routes = {
+        "http://a.example/ok": {
+            "status": 200,
+            "body": '<body><p>hello there</p><a href="/l1">x</a></body>',
+        },
+        "http://a.example/gone": {"status": 404},
+        "http://slow.example/": {"status": 599},
+    }
+    rf = tmp_path / "routes.json"
+    rf.write_text(json.dumps(routes))
+    cfg = RoundConfig(
+        fetch_stage="http",
+        http_transport="pyspider_spark.engine.fetch_http:file_transport",
+        http_transport_arg=str(rf),
+    )
+    sched = spark.createDataFrame(
+        [
+            ("http://a.example/ok", "p", "t1", "a.example", "index_page"),
+            ("http://a.example/gone", "p", "t2", "a.example", "index_page"),
+            ("http://slow.example/", "p", "t3", "slow.example", "index_page"),
+            ("data:,hello%20data", "p", "t4", "", "index_page"),
+        ],
+        "canon_url string, project string, taskid string, host string, callback string",
+    )
+    rows = {r["taskid"]: r for r in fetch_http_and_extract(sched, cfg).collect()}
+    assert rows["t1"]["code"] == 200 and rows["t1"]["proc_ok"]
+    assert rows["t1"]["text"] == "hello there\nx"
+    assert rows["t1"]["links"] == ["http://a.example/l1"]
+    assert rows["t2"]["code"] == 404 and not rows["t2"]["proc_ok"]
+    assert rows["t3"]["code"] == 599 and rows["t3"]["fetch_error"]
+    assert rows["t4"]["code"] == 200 and rows["t4"]["proc_ok"]  # data: short-circuit
+    assert rows["t4"]["text"] == "hello data"
+
+
+def test_engine_round_http_stage_equals_join_stage(spark, smoke_fixtures, tmp_path):
+    """Full engine rounds through the HTTP stage (mock transport serving
+    the fixture corpus) must produce the same crawl metrics as the
+    simulated join on the identical corpus — the stage is a drop-in
+    S7 replacement selected by config. Also pins track.fetch's
+    redirect_url/headers fields (round-2 verdict Missing #2)."""
+    import pyspark.sql.functions as F
+
+    from pyspider_spark.config import RoundConfig
+    from pyspider_spark.engine.round import CrawlEngine
+
+    rf = tmp_path / "routes.json"
+    _routes_from_pages(smoke_fixtures["pages"], str(rf))
+    # add one REDIRECTED url reachable from a seed page: not in the
+    # pages table (join path would 404 it), so only the redirect
+    # assertions below depend on it — metric comparison uses the join
+    # corpus urls only... instead: redirect an EXISTING url's fetch.
+    routes = json.loads(rf.read_text())
+    # pick a SEED corpus url (guaranteed fetched in round 0) and serve
+    # it as a 302 → mirror with the same body
+    from pyspider_spark.kernels.canon import canonicalize
+
+    seed_urls = {
+        canonicalize(r["url"])
+        for r in spark.read.parquet(smoke_fixtures["seeds"]).collect()
+    }
+    victim = next(
+        u for u, e in routes.items() if e.get("status") == 200 and u in seed_urls
+    )
+    routes["http://mirror.example/landed"] = routes[victim]
+    routes[victim] = {"status": 302, "headers": {"Location": "http://mirror.example/landed"}}
+    rf.write_text(json.dumps(routes))
+
+    seeds = spark.read.parquet(smoke_fixtures["seeds"])
+    metrics = {}
+    for stage in ("join", "http"):
+        kw = {}
+        if stage == "http":
+            kw = dict(
+                fetch_stage="http",
+                http_transport="pyspider_spark.engine.fetch_http:file_transport",
+                http_transport_arg=str(rf),
+                http_pool=4,
+            )
+        cfg = RoundConfig(n_partitions=4, round_budget=1000, **kw)
+        eng = CrawlEngine(
+            spark,
+            str(tmp_path / f"state_{stage}"),
+            cfg,
+            pages_path=smoke_fixtures["pages"],
+            projects_path=smoke_fixtures["projects"],
+            robots_path=smoke_fixtures["robots"],
+        )
+        ms = eng.run_rounds(2, seeds=seeds)
+        metrics[stage] = [
+            {k: m[k] for k in ("scheduled", "ok", "failed", "robots_blocked", "new_urls", "frontier")}
+            for m in ms
+        ]
+        if stage == "http":
+            man = eng.snap.read_manifest()
+            settles = spark.read.parquet(
+                *[eng.snap.abspath(t) for t in man["tables"]["settle"]]
+            )
+            tr = (
+                settles.filter(F.col("track").isNotNull())
+                .select("track")
+                .collect()
+            )
+            tracks = [json.loads(r["track"]) for r in tr]
+            redirected = [t for t in tracks if t["fetch"].get("redirect_url")]
+            assert redirected, "no track recorded the redirect"
+            assert redirected[0]["fetch"]["redirect_url"] == "http://mirror.example/landed"
+            assert any(t["fetch"].get("headers") for t in tracks)
+    assert metrics["http"] == metrics["join"]
