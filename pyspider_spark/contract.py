@@ -701,7 +701,7 @@ def q_schedule_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     robots = S.empty_df(spark, "host string, robots_txt string")
     host_state = S.empty_df(spark, S.HOST_STATE_SCHEMA)
-    sched, _blocked = schedule_round(
+    sched, _blocked, _checked = schedule_round(
         cands.drop("k"), robots, host_state, cfg, NOW
     )
     from pyspark.sql import Window
@@ -748,7 +748,7 @@ def q_schedule_multiproject(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     robots = S.empty_df(spark, "host string, robots_txt string")
     host_state = S.empty_df(spark, S.HOST_STATE_SCHEMA)
-    sched, _blocked = schedule_round(
+    sched, _blocked, _checked = schedule_round(
         cands.drop("k"), robots, host_state, cfg, NOW,
         project_caps={"p0": 7, "p1": 12},
     )

@@ -23,6 +23,7 @@ import urllib.robotparser
 
 import pandas as pd
 import pyspark.sql.functions as F
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql.types import BooleanType, DoubleType, StructField, StructType
 
@@ -83,13 +84,20 @@ def check_robots(
     if robots_rows is not None and robots_rows <= cfg.robots_broadcast_max_rows:
         dim = F.broadcast(dim)
     j = cands.join(dim, "host", "left")
-    # only rows whose host HAS robots text pay the Python UDF; hosts
-    # without a robots row (the vast majority) stay JVM-side
-    with_txt = j.filter(F.col("robots_txt").isNotNull()).withColumn(
-        "allowed", _robots_allowed(F.col("host"), F.col("canon_url"), F.col("robots_txt"))
-    )
-    without = j.filter(F.col("robots_txt").isNull()).withColumn("allowed", F.lit(True))
-    return with_txt.unionByName(without).drop("robots_txt")
+    # ONE pass, no union split: the UDF short-circuits null robots_txt
+    # rows to True inside the Arrow batch. The previous
+    # with_txt ∪ without union re-EXECUTED the entire un-materialized
+    # upstream (MoR frontier resolve + candidates scan + this join) once
+    # per branch — scans below a broadcast join have no Exchange for
+    # ReuseExchange to dedupe, so the frontier was resolved twice here
+    # (and more in the admit/free split downstream); measured as the
+    # core-count-invariant floor of the `schedule` phase. The Arrow hop
+    # for no-robots rows costs three narrow columns — far less than a
+    # second frontier resolve.
+    return j.withColumn(
+        "allowed",
+        _robots_allowed(F.col("host"), F.col("canon_url"), F.col("robots_txt")),
+    ).drop("robots_txt")
 
 
 def admit(
@@ -198,15 +206,28 @@ def schedule_round(
     now: float,
     project_caps: dict[str, int] | None = None,
     robots_rows: int | None = None,
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Full O1/O2/O3/J4/J5 pass. Returns (sched, blocked).
 
     sched: the round's fetch schedule — robots-passing, per-host bucket
     admission, per-project budget cap (when `project_caps` given),
     global `round_budget` cut in O1 order (TakeOrdered: per-partition
     top-k then merge — no global sort materialization).
-    blocked: robots-disallowed rows (settle BAD, no retry)."""
-    checked = check_robots(cands, robots, cfg, robots_rows=robots_rows)
+    blocked: robots-disallowed rows (settle BAD, no retry).
+
+    The robots-checked candidate set is PERSISTED here: it has three
+    downstream consumers (blocked, the host-bucketed branch, the
+    hostless free branch) and without a materialization point each one
+    re-executes the full upstream — the MoR frontier resolve + the
+    candidates scan — per consumer (no Exchange below the broadcast
+    joins, so ReuseExchange can't dedupe them). The first action (the
+    round's schedule-log write) builds the cache inside one job; the
+    settle job's `blocked` read and the admit branches serve from it.
+    Callers unpersist via the returned handle after the round's sinks.
+    """
+    checked = check_robots(cands, robots, cfg, robots_rows=robots_rows).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     blocked = checked.filter(~F.col("allowed")).select(*ADMIT_COLS)
     ok = checked.filter(F.col("allowed"))
 
@@ -220,4 +241,4 @@ def schedule_round(
         # O3 global cap needs the O1 total order; skip the global sort
         # entirely when no budget is configured (unbounded rounds)
         sched = sched.orderBy(*order_cols()).limit(cfg.round_budget)
-    return sched, blocked
+    return sched, blocked, checked

@@ -758,7 +758,7 @@ class CrawlEngine:
                 float(tokens), float(last), now, float(rate), float(burst)
             )
         project_caps = {n: int(t) for n, t in proj_tok.items()}
-        sched, blocked = schedule_round(
+        sched, blocked, checked = schedule_round(
             cands, self.robots, host_state, cfg, now,
             project_caps=project_caps, robots_rows=self.robots_rows,
         )
@@ -1321,7 +1321,7 @@ class CrawlEngine:
             }
         )
         mark("sinks_commit")
-        for df in (sched, blocked, fetched, upd_all, upd):
+        for df in (sched, blocked, checked, fetched, upd_all, upd):
             df.unpersist()
         return {
             "phase_s": phase_s,
