@@ -157,6 +157,7 @@ def run_crawl(
     mult: int = 1,
     host_rate: float | None = None,
     bucketed: bool = False,
+    broadcast_rows: int | None = None,
 ) -> dict:
     """Fresh-state crawl of `rounds` rounds; returns wall + URL totals.
     ``host_rate`` overrides the per-host token rate/burst — the dense
@@ -185,6 +186,14 @@ def run_crawl(
             )
         pages_path = bloc
         cfg_kw["fetch_broadcast_max_rows"] = 0
+    if broadcast_rows is not None:
+        # experiment knob: cap BOTH broadcast bounds (0 = always take
+        # the shuffle-join path — the at-scale plan; broadcast cost on
+        # an N-executor cluster is O(N x build size), so the bench
+        # regime's multi-100MB schedule broadcasts anti-scale with
+        # executors in a way thread-mode local[k] never shows)
+        cfg_kw["fetch_broadcast_max_rows"] = broadcast_rows
+        cfg_kw["merge_broadcast_max_rows"] = broadcast_rows
 
     state = os.path.join(fixtures_dir, f"state_{os.getpid()}")
     shutil.rmtree(state, ignore_errors=True)
@@ -269,10 +278,29 @@ def main(argv: list[str] | None = None) -> int:
         "broadcast bound forced to 0 (co-located fetch join)",
     )
     ap.add_argument(
+        "--broadcast-rows",
+        type=int,
+        default=None,
+        help="override fetch/merge broadcast row bounds (0 = force the "
+        "shuffle-join at-scale plan)",
+    )
+    ap.add_argument(
         "--frontier-scale",
         action="store_true",
         help="measure steady-round wall at 1M vs 8M frontier rows "
         "(touch-only MERGE evidence); prints one JSON line",
+    )
+    ap.add_argument(
+        "--frontier-sizes",
+        default="1000000,8000000",
+        help="comma-separated frontier row counts for --frontier-scale "
+        "(e.g. 8000000,64000000 for the next-decade soak)",
+    )
+    ap.add_argument(
+        "--frontier-reps",
+        type=int,
+        default=2,
+        help="interleaved repetitions per size for --frontier-scale",
     )
     ap.add_argument(
         "--migration-demo",
@@ -305,7 +333,8 @@ def main(argv: list[str] | None = None) -> int:
             page_words=args.page_words,
             seeds_div=args.seeds_div,
         )
-        out = run_frontier_scale(spark, fx)
+        sizes = tuple(int(s) for s in args.frontier_sizes.split(","))
+        out = run_frontier_scale(spark, fx, sizes=sizes, reps=args.frontier_reps)
         print(json.dumps(out))
         spark.stop()
         return 0
@@ -317,6 +346,7 @@ def main(argv: list[str] | None = None) -> int:
             page_words=max(args.page_words, 1200),
             host_rate=args.host_rate if args.host_rate is not None else 3000.0,
             cluster=args.cluster,
+            broadcast_rows=args.broadcast_rows,
         )
 
     spark = _spark(args.cores, executors=args.executors)
@@ -347,6 +377,7 @@ def main(argv: list[str] | None = None) -> int:
             mult=args.pages_mult,
             host_rate=args.host_rate,
             bucketed=args.bucketed,
+            broadcast_rows=args.broadcast_rows,
         )
         out["queries"]["crawl_rounds"] = crawl["wall_s"]
         out["crawl"] = crawl
@@ -569,6 +600,7 @@ def run_scaling(
     seeds_div: int = 5,
     host_rate: float = 3000.0,
     cluster: bool = False,
+    broadcast_rows: int | None = None,
 ) -> int:
     """North-rule scaling evidence: same job, same input, two
     parallelism levels in fresh JVMs. efficiency = (ups_32/ups_8)/4.
@@ -621,6 +653,8 @@ def run_scaling(
             # zip ships to the executors via addPyFile (the spark-submit
             # --py-files twin), so both legs run the same artifact
             cmd += ["--executors", str(cores // 4)]
+        if broadcast_rows is not None:
+            cmd += ["--broadcast-rows", str(broadcast_rows)]
         p = subprocess.run(cmd, capture_output=True, text=True)
         if p.returncode != 0:
             # surface the child's tail before failing — a swallowed
@@ -680,6 +714,11 @@ def run_scaling(
         "machine_cpu_ceiling_cold": ceiling_cold,
         "machine_cpu_ceiling_hot": ceiling,
         "machine_cpu_ceiling": max(ceiling_cold, ceiling),
+        # per-resource-class 8→32 scaling of this box (cpu probe above;
+        # membw + disk below) — the composite physics bound on any
+        # single-box N→4N efficiency measurement
+        "machine_resource_ceilings": _machine_resource_ceilings(),
+        "broadcast_rows_override": broadcast_rows,
         "normalized_efficiency": round(eff / max(ceiling_cold, ceiling), 3)
         if max(ceiling_cold, ceiling)
         else None,
@@ -712,6 +751,74 @@ def _machine_cpu_ceiling() -> float:
             el = _time.time() - t
         thr[workers] = workers * 3 * n / el
     return round((thr[32] / thr[8]) / 4, 3)
+
+
+def _mem_stream(n: int) -> int:
+    import numpy as np
+    import os as _os
+
+    arr = np.frombuffer(_os.urandom(64 * 1024 * 1024), dtype=np.uint8)
+    s = 0
+    for _ in range(n):
+        s += int(arr.sum())  # streaming traversal of 64 MB
+    return s
+
+
+def _io_rw(i: int) -> int:
+    import os as _os
+
+    p = f"/tmp/ioprobe_{_os.getpid()}_{i}"
+    data = _os.urandom(64 * 1024 * 1024)
+    with open(p, "wb") as f:
+        for _ in range(4):
+            f.write(data)
+        f.flush()
+        _os.fsync(f.fileno())
+    n = 0
+    with open(p, "rb") as f:
+        while True:
+            b = f.read(16 * 1024 * 1024)
+            if not b:
+                break
+            n += len(b)
+    _os.remove(p)
+    return n
+
+
+def _machine_resource_ceilings() -> dict:
+    """8 → 32-worker scaling of THIS box per resource class — the
+    physics any single-box N→4N measurement is bounded by. A Spark
+    round blends all three: extraction/python = cpu, scans/Arrow/
+    shuffles = membw, cache-spill/state-writes/shuffle-files = disk.
+    Measured here (sandbox VM): cpu ~0.7-1.0, membw ~0.65, disk ~1 GB/s
+    FLAT (≈0.25 efficiency) — a real N→4N cluster scales each with
+    node count."""
+    import time as _time
+    from concurrent.futures import ProcessPoolExecutor
+
+    out: dict = {}
+    thr = {}
+    for workers in (8, 32):
+        with ProcessPoolExecutor(workers) as ex:
+            list(ex.map(_mem_stream, [1] * workers))
+            t = _time.time()
+            list(ex.map(_mem_stream, [6] * workers))
+            el = _time.time() - t
+        thr[workers] = workers * 6 * 64 / 1024 / el
+    out["membw_gbps_8"] = round(thr[8], 1)
+    out["membw_gbps_32"] = round(thr[32], 1)
+    out["membw_ceiling"] = round((thr[32] / thr[8]) / 4, 3)
+    thr = {}
+    for workers in (8, 32):
+        with ProcessPoolExecutor(workers) as ex:
+            t = _time.time()
+            list(ex.map(_io_rw, range(workers)))
+            el = _time.time() - t
+        thr[workers] = workers * 256 * 2 / 1024 / el
+    out["disk_gbps_8"] = round(thr[8], 2)
+    out["disk_gbps_32"] = round(thr[32], 2)
+    out["disk_ceiling"] = round((thr[32] / thr[8]) / 4, 3)
+    return out
 
 
 if __name__ == "__main__":

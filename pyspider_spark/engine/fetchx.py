@@ -160,9 +160,12 @@ def fetch_and_extract(
     pages_canon: DataFrame,
     cfg: RoundConfig,
     sched_rows: int | None = None,
+    corpus_rows: int | None = None,
 ) -> DataFrame:
     """J1 + F5/F7: fetch_join (below) + the shared extraction tail."""
-    f = fetch_join(sched, pages_canon, cfg, sched_rows=sched_rows)
+    f = fetch_join(
+        sched, pages_canon, cfg, sched_rows=sched_rows, corpus_rows=corpus_rows
+    )
     # schema parity with the HTTP stage (engine/fetch_http.py): the
     # simulated join has no wire metadata, so the track columns ride
     # as nulls (to_json drops null fields — track bytes unchanged)
@@ -176,6 +179,7 @@ def fetch_join(
     pages_canon: DataFrame,
     cfg: RoundConfig,
     sched_rows: int | None = None,
+    corpus_rows: int | None = None,
 ) -> DataFrame:
     """J1: left join on canon_url, derive status code — THE fetch join
     the round's fetch stage runs (also driven directly by the
@@ -237,20 +241,34 @@ def fetch_join(
         )
     misses = misses.withColumn("html", F.lit(None).cast("binary"))
     f = hits.select(*sched.columns, "html").unionByName(misses.select(*sched.columns, "html"))
-    # Rebalance BEFORE extraction: the join's surviving rows inherit the
-    # scan's input splits, and a schedule is usually *clustered* in the
-    # pages table (a crawl fetches what it recently discovered, and
-    # ingest appends in discovery order — in the bench fixture ALL seeds
-    # sit in row group 0). Without this exchange the Python extraction
-    # of an entire round lands on the handful of scan tasks whose row
-    # groups held the hits (measured: 225k pages extracted by ONE core,
-    # 430 s ≈ 98% of the round). The shuffle moves only the
-    # schedule-sized hit payload (round_budget × page size — never the
-    # corpus), AQE coalesces it on small rounds, and extraction then
-    # runs at full cluster width. REBALANCE (not a fixed repartition N)
-    # lets AQE size the exchange: ~advisory-bytes per task on big
-    # rounds, coalesced to a handful of tasks on small ones.
-    f = f.hint("rebalance")
+    # Rebalance BEFORE extraction — but ONLY in the sparse regime: the
+    # join's surviving rows inherit the scan's input splits, and a
+    # SPARSE schedule is usually *clustered* in the pages table (a
+    # crawl fetches what it recently discovered, and ingest appends in
+    # discovery order — in the sparse bench fixture ALL seeds sit in
+    # row group 0). Without the exchange the Python extraction of such
+    # a round lands on the handful of scan tasks whose row groups held
+    # the hits (measured: 225k pages extracted by ONE core, 430 s ≈
+    # 98% of the round). The shuffle moves the schedule-sized hit
+    # PAYLOAD though — at dense rounds (10^6+ hits × ~9 KB pages) that
+    # is tens of GB through the shuffle layer per round, and on
+    # executor-JVM legs it serializes through disk+loopback (measured
+    # as the fetch phase scaling only 1.5× from 2→8 executors). When
+    # the schedule covers ≥ `_REBALANCE_COVERAGE` of the corpus,
+    # clustering cannot concentrate work (hits/split ≈ uniform by
+    # counting), so the exchange is pure cost — skip it and extract in
+    # the scan tasks at full width. Sparse rounds (the 10^10 design
+    # point's 0.1-1 % coverage) keep the exchange: balance there is
+    # worth one schedule-sized shuffle, and on a real N-node cluster
+    # shuffle bandwidth scales with N.
+    dense = (
+        sched_rows is not None
+        and corpus_rows is not None
+        and corpus_rows > 0
+        and sched_rows >= _REBALANCE_COVERAGE * corpus_rows
+    )
+    if not dense:
+        f = f.hint("rebalance")
     code = (
         F.when(F.col("canon_url").startswith("data:"), F.lit(FETCH_OK))
         .when(F.col("host") == "slow.example", F.lit(FETCH_TIMEOUT))
@@ -263,6 +281,11 @@ def fetch_join(
 # wire metadata appended by every fetch stage (nulls on the simulated
 # join; real values from engine/fetch_http.py) — recorded in track.fetch
 FETCH_META_COLS = ("redirect_url", "fetch_headers", "fetch_error")
+
+# schedule/corpus row-count ratio above which hit-clustering cannot
+# concentrate extraction work and the pre-extraction rebalance exchange
+# (schedule-sized page payloads through shuffle) is skipped
+_REBALANCE_COVERAGE = 0.02
 
 
 def extract_outputs(

@@ -178,6 +178,19 @@ class CrawlEngine:
                 with open(stamp_path, "w") as f:
                     f.write(stamp)
             self.pages_canon = spark.read.parquet(canon_dir)
+        # corpus row count from parquet footers (metadata-only, once):
+        # drives the fetch join's dense-regime rebalance skip — when a
+        # round's schedule covers a large corpus fraction, the
+        # pre-extraction payload exchange is pure cost (fetchx)
+        try:
+            if os.path.isdir(pages_path):
+                self.pages_rows: int | None = _parquet_rows(pages_path) or None
+            else:
+                import pyarrow.parquet as _pq
+
+                self.pages_rows = _pq.ParquetFile(pages_path).metadata.num_rows
+        except OSError:
+            self.pages_rows = None
         self.projects_path = projects_path
         self._proj_stat: tuple | None = None
         self._load_projects()
@@ -846,19 +859,35 @@ class CrawlEngine:
         if cfg.fetch_stage == "http":
             from pyspider_spark.engine.fetch_http import fetch_http_and_extract
 
-            fetched = fetch_http_and_extract(sched, cfg).persist(
-                StorageLevel.MEMORY_AND_DISK
-            )
+            fx_out = fetch_http_and_extract(sched, cfg)
         else:
-            fetched = fetch_and_extract(
-                sched, self.pages_canon, cfg, sched_rows=n_sched
-            ).persist(StorageLevel.MEMORY_AND_DISK)
+            fx_out = fetch_and_extract(
+                sched, self.pages_canon, cfg, sched_rows=n_sched,
+                corpus_rows=self.pages_rows,
+            )
+        # Project text → text_len BEFORE the persist: no settle/result/
+        # follow consumer ever reads the text bytes again (results store
+        # text_len; follows need links; settle needs proc flags), so
+        # caching the full extracted text was ~7 KB × schedule rows of
+        # pure cache/spill volume per round — on this box's FLAT ~1 GB/s
+        # disk subsystem (BENCH ceiling probes) the spill was a
+        # core-count-invariant tax on every dense round, and at 10^8-row
+        # production rounds it's cluster-wide cache pressure for bytes
+        # nobody reads. Full text lands in sinks only where a sink
+        # explicitly asks (debug_one, corpus jobs run their own plans).
+        fetched = (
+            fx_out.withColumn(
+                "text_len", F.length(F.coalesce("text", F.lit("")))
+            )
+            .drop("text")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
         # proc_ok, not raw code: @catch_status_code_error callbacks
         # settle SUCCESS from the handler outcome (U3)
         ok = fetched.filter(F.col("proc_ok"))
 
         res_fields = [
-            F.length(F.coalesce("text", F.lit(""))).alias("text_len"),
+            F.col("text_len"),
             F.coalesce(F.size("links"), F.lit(0)).alias("n_links"),
         ]
         if cfg.analyze:
