@@ -36,6 +36,11 @@ def main() -> int:
     ap.add_argument("--seeds-div", type=int, default=5)
     ap.add_argument("--host-rate", type=float, default=3000.0)
     ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--executors", type=int, default=None,
+                    help="profile on local-cluster[N,4,*] executor JVMs")
+    ap.add_argument("--broadcast-rows", type=int, default=None)
+    ap.add_argument("--tasks", action="store_true",
+                    help="also report per-phase max task counts (width)")
     args = ap.parse_args()
 
     from bench import ensure_fixtures
@@ -44,12 +49,16 @@ def main() -> int:
     from pyspider_spark.engine.session import get_spark
 
     os.environ["SPARK_GRAFT_UI"] = "1"  # REST metrics source
-    spark = get_spark(cores=args.cores, app_name="profile_round")
+    spark = get_spark(cores=args.cores, app_name="profile_round", n_executors=args.executors)
     fixtures = ensure_fixtures(
         spark, args.sf_dir, mult=args.mult, page_words=args.words, seeds_div=args.seeds_div
     )
     state = os.path.join(fixtures, f"state_prof_{os.getpid()}")
     shutil.rmtree(state, ignore_errors=True)
+    cfg_kw = {}
+    if args.broadcast_rows is not None:
+        cfg_kw["fetch_broadcast_max_rows"] = args.broadcast_rows
+        cfg_kw["merge_broadcast_max_rows"] = args.broadcast_rows
     cfg = RoundConfig(
         rate=args.host_rate,
         burst=args.host_rate,
@@ -57,6 +66,7 @@ def main() -> int:
         round_budget=None,
         analyze=True,
         pages_precanonical=True,
+        **cfg_kw,
     )
     eng = CrawlEngine(
         spark,
@@ -114,17 +124,26 @@ def main() -> int:
             unattributed["cpu_ms"] += int(cpu_ms)
             unattributed["stages"] += 1
             continue
-        d = per_phase.setdefault(label, {"run_ms": 0, "cpu_ms": 0, "stages": 0})
+        d = per_phase.setdefault(
+            label,
+            {"run_ms": 0, "cpu_ms": 0, "stages": 0, "tasks": 0, "sh_mb": 0},
+        )
         d["run_ms"] += run_ms
         d["cpu_ms"] += int(cpu_ms)
         d["stages"] += 1
+        d["tasks"] += st.get("numTasks", 0)
+        d["sh_mb"] += int(
+            (st.get("shuffleWriteBytes", 0) + st.get("shuffleReadBytes", 0)) / 1e6
+        )
 
     cores = args.cores
     rows = []
     for r in range(args.rounds):
         for name, dur in metrics[r]["phase_s"].items():
             lab = f"r{r}:{name}"
-            d = per_phase.get(lab, {"run_ms": 0, "cpu_ms": 0, "stages": 0})
+            d = per_phase.get(
+                lab, {"run_ms": 0, "cpu_ms": 0, "stages": 0, "tasks": 0, "sh_mb": 0}
+            )
             busy_s = d["run_ms"] / 1000.0 / cores  # executor-busy wall equivalent
             rows.append(
                 {
@@ -134,6 +153,8 @@ def main() -> int:
                     "parallel_frac": round(busy_s / dur, 2) if dur > 0 else None,
                     "cpu_over_run": round(d["cpu_ms"] / d["run_ms"], 2) if d["run_ms"] else None,
                     "stages": d["stages"],
+                    "tasks": d["tasks"],
+                    "shuffle_mb": d["sh_mb"],
                 }
             )
     report = {
