@@ -137,6 +137,10 @@ class RoundConfig:
     http_pool: int = 20  # per-task fetch concurrency (fetcher poolsize analog)
     http_timeout: float = 120.0  # tornado_fetcher default timeout
     max_redirects: int = 5  # tornado_fetcher default max_redirects
+    # body-size ceiling per fetch (tornado max_buffer_size analog):
+    # caps the transport read AND the post-decompress size, so one
+    # hostile/giant host can't blow an executor's Arrow batch memory.
+    http_max_content: int = 64 << 20
     respect_robots: bool = True
     # robots dim join: broadcast only when the dim's row count is KNOWN
     # (parquet footers) and under this bound — a web-scale robots table

@@ -701,7 +701,7 @@ def q_schedule_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     robots = S.empty_df(spark, "host string, robots_txt string")
     host_state = S.empty_df(spark, S.HOST_STATE_SCHEMA)
-    sched, _blocked, _checked = schedule_round(
+    sched, _blocked, checked = schedule_round(
         cands.drop("k"), robots, host_state, cfg, NOW
     )
     from pyspark.sql import Window
@@ -716,6 +716,11 @@ def q_schedule_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         "priority",
         (F.row_number().over(w) - 1).cast("int").alias("seq_in_host"),
     )
+    # materialize, then release schedule_round's MEMORY_AND_DISK cache —
+    # the engine unpersists after its sinks (round.py); a gate that
+    # drops the handle would leak one cached set per run (r3 advice)
+    out = out.localCheckpoint(eager=True)
+    checked.unpersist()
     return out
 
 
@@ -748,13 +753,16 @@ def q_schedule_multiproject(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     robots = S.empty_df(spark, "host string, robots_txt string")
     host_state = S.empty_df(spark, S.HOST_STATE_SCHEMA)
-    sched, _blocked, _checked = schedule_round(
+    sched, _blocked, checked = schedule_round(
         cands.drop("k"), robots, host_state, cfg, NOW,
         project_caps={"p0": 7, "p1": 12},
     )
-    return sched.join(cands.select("taskid", "k"), "taskid").select(
+    out = sched.join(cands.select("taskid", "k"), "taskid").select(
         "k", "project", "host", F.col("canon_url").alias("url"), "priority"
     )
+    out = out.localCheckpoint(eager=True)  # then free the gate's cache
+    checked.unpersist()
+    return out
 
 
 ORACLE_SCHEDULE_MULTIPROJECT = f"""
@@ -1524,7 +1532,7 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming<=3 with 4 bands forces one identical band). Fingerprints
     here come from the portable md5 simhash so both engines hash
     identically; the engine's crawl path uses the same op over the
-    crc32 fingerprints ``analyze_text`` emits per page."""
+    md5-half fingerprints ``analyze_text`` emits per page."""
     from pyspider_spark.ops.dedup import simhash_near_dup
 
     register_views(spark, sf_dir)
@@ -1608,7 +1616,7 @@ def q_corpus_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-corpus export ENGINE op (ops/export.export_corpus):
     one Arrow pass of the real ``analyze_text`` kernel → quality/lang
     filter → deterministic md5 shard. Dedup off here (the crawl-path
-    crc32 simhash has no DuckDB twin); the dedup leg is covered by
+    engine simhash has no DuckDB twin); the dedup leg is covered by
     ``dedup_simhash_pairs`` + tests/test_export.py."""
     from pyspider_spark.ops.export import export_corpus
 

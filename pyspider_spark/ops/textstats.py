@@ -6,14 +6,14 @@ The reference's analog is the user handler body (``pyspider/libs/
 base_handler.py`` callbacks run arbitrary per-page Python); this module
 is the engine's built-in "default analysis handler", run inside the
 same Arrow batch as extraction when ``RoundConfig.analyze`` is set.
-Deterministic: stdlib crc32 + numpy only (no PYTHONHASHSEED exposure).
+Deterministic: stdlib md5 + numpy only (no PYTHONHASHSEED exposure).
 """
 
 from __future__ import annotations
 
 import re
 from collections import Counter
-from zlib import crc32
+from hashlib import md5
 
 import numpy as np
 import pandas as pd
@@ -29,10 +29,12 @@ STOP_DE = frozenset(
 )
 
 _BITS64 = np.arange(64, dtype=np.uint64)
-# second crc32 stream: same bytes, different init value (golden-ratio
-# prime) — two independent 32-bit streams concatenated give the
-# 64-bit per-token hash without a second encode/alloc pass
-_CRC_HI_INIT = 0x9E3779B1
+# Per-token 64-bit hash = first 8 little-endian bytes of md5(token).
+# NOT two crc32 streams: crc32 is GF(2)-linear, so crc32(t, seed) =
+# crc32(t, 0) XOR C(len(t)) — a seeded "second stream" merely mirrors
+# the first per token-length class, which inflates Hamming distance
+# between near-dups (~2x) and collapses effective band entropy back
+# toward 32 bits at web scale. md5 halves are genuinely independent.
 
 # ASCII tokenizer fast path: for ASCII text (the overwhelmingly common
 # web-page case after extraction), `lower().encode().translate(_TBL)
@@ -41,7 +43,7 @@ _CRC_HI_INIT = 0x9E3779B1
 # mapping every non-token byte to space and splitting is the same
 # partition (parity pinned in tests/test_textstats.py over random
 # printable strings). bytes.translate/split run at C speed, ~5-10x the
-# regex, and crc32 takes the bytes directly (the slow path encodes).
+# regex, and md5 takes the bytes directly (the slow path encodes).
 _TBL = bytes(
     c if chr(c) in set("abcdefghijklmnopqrstuvwxyz0123456789") else 0x20
     for c in range(256)
@@ -63,7 +65,8 @@ def analyze_text(text: str) -> tuple[int, str, float, int]:
       bands), 32-bit fingerprints give 8-bit bands that saturate at
       web scale (every band value collides ~N/256 times at 10^9 docs);
       16-bit bands keep candidate groups tractable (round-2 verdict
-      "wrong" #2). Per-token hash = crc32(token) ‖ crc32(token, seed2).
+      "wrong" #2). Per-token hash = md5(token)[:8] little-endian (one
+      digest per unique token; both 32-bit halves independent streams).
     """
     if not text:
         return 0, "und", 0.0, 0
@@ -101,17 +104,12 @@ def analyze_text(text: str) -> tuple[int, str, float, int]:
     )
     u = len(counts)
     if raw_bytes:
-        lo = np.fromiter((crc32(t) for t in counts), dtype=np.uint64, count=u)
-        hi = np.fromiter(
-            (crc32(t, _CRC_HI_INIT) for t in counts), dtype=np.uint64, count=u
-        )
+        dig = b"".join(md5(t).digest() for t in counts)
     else:
-        bts = [t.encode() for t in counts]
-        lo = np.fromiter((crc32(t) for t in bts), dtype=np.uint64, count=u)
-        hi = np.fromiter(
-            (crc32(t, _CRC_HI_INIT) for t in bts), dtype=np.uint64, count=u
-        )
-    hs = (hi << np.uint64(32)) | lo
+        dig = b"".join(md5(t.encode()).digest() for t in counts)
+    # one 16-byte digest per unique token; stride-2 view takes the
+    # first 8 bytes of each as the little-endian 64-bit token hash
+    hs = np.frombuffer(dig, dtype="<u8")[0::2]
     w = np.fromiter(counts.values(), dtype=np.int64, count=u)
     bits = ((hs[:, None] >> _BITS64) & np.uint64(1)).astype(np.int64)
     acc = ((bits * 2 - 1) * w[:, None]).sum(axis=0)

@@ -230,6 +230,160 @@ def test_urllib_connection_refused_is_599():
     assert r["code"] == 599 and r["error"]
 
 
+def test_cookie_jar_is_host_scoped():
+    """Round-3 advice: a cookie set by a.ex must NOT travel to b.ex
+    when the redirect chain crosses hosts — the reference CookieJar is
+    domain-scoped."""
+    t = ChainTransport(
+        {
+            "http://a.ex/set": (
+                302,
+                {"Location": "http://b.ex/next", "Set-Cookie": "sid=42; Path=/"},
+                b"",
+            ),
+            "http://b.ex/next": (302, {"Location": "http://a.ex/back"}, b""),
+            "http://a.ex/back": (200, {}, b"ok"),
+        }
+    )
+    fetch_one(t, "http://a.ex/set", cookies={"pre": "1"})
+    by_url = {u: h for _, u, h in t.log}
+    assert by_url["http://a.ex/set"]["Cookie"] == "pre=1"
+    assert "Cookie" not in by_url["http://b.ex/next"]  # crossed hosts
+    assert by_url["http://a.ex/back"]["Cookie"] == "pre=1; sid=42"  # back home
+
+
+def test_multiple_set_cookie_headers_all_kept():
+    """Repeated Set-Cookie response headers arrive '\\n'-joined from
+    the transport; every cookie survives into the next same-host hop
+    (round-3 advice: dict() collapse silently kept only the last)."""
+    t = ChainTransport(
+        {
+            "http://a.ex/multi": (
+                302,
+                {"Location": "/next", "Set-Cookie": "a=1; Path=/\nb=2; Secure\nc=3"},
+                b"",
+            ),
+            "http://a.ex/next": (200, {}, b"ok"),
+        }
+    )
+    fetch_one(t, "http://a.ex/multi")
+    assert t.log[-1][2]["Cookie"] == "a=1; b=2; c=3"
+
+
+def test_raw_deflate_body_decoded():
+    """Content-Encoding: deflate with a RAW deflate stream (no zlib
+    header) — the servers-in-the-wild case round-3 advice flagged as
+    falling through to the 599 bad-gzip path."""
+    import zlib
+
+    raw = zlib.compressobj(wbits=-zlib.MAX_WBITS)
+    body = raw.compress(b"<body>raw deflate</body>") + raw.flush()
+    wrapped = zlib.compress(b"<body>zlib deflate</body>")
+    t = ChainTransport(
+        {
+            "http://a.ex/raw": (200, {"Content-Encoding": "deflate"}, body),
+            "http://a.ex/zlib": (200, {"Content-Encoding": "deflate"}, wrapped),
+        }
+    )
+    assert fetch_one(t, "http://a.ex/raw")["content"] == b"<body>raw deflate</body>"
+    assert fetch_one(t, "http://a.ex/zlib")["content"] == b"<body>zlib deflate</body>"
+
+
+def test_max_content_truncates_after_decompress():
+    """A gzip bomb whose wire bytes fit the cap must still come out
+    truncated to max_content after expansion."""
+    t = ChainTransport(
+        {
+            "http://a.ex/bomb": (
+                200,
+                {"Content-Encoding": "gzip"},
+                gzip.compress(b"A" * 100_000),
+            ),
+            "http://a.ex/plain": (200, {}, b"B" * 5000),
+        }
+    )
+    r = fetch_one(t, "http://a.ex/bomb", max_content=1000)
+    assert r["code"] == 200 and r["content"] == b"A" * 1000
+    r2 = fetch_one(t, "http://a.ex/plain", max_content=1000)
+    assert r2["content"] == b"B" * 1000
+
+
+# --- layer 2b: keep-alive connection reuse against a live server -------
+
+
+@pytest.fixture()
+def keepalive_server():
+    """HTTP/1.1 server that counts socket accepts — the keep-alive
+    evidence the round-3 verdict asked for (task #4)."""
+    import http.server
+
+    class KH(http.server.BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            body = b"<body>keepalive " + self.path.encode() + b"</body>"
+            if self.path == "/big":
+                body = b"X" * 200_000
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    class CountingServer(http.server.ThreadingHTTPServer):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            self.accepts = 0
+
+        def get_request(self):
+            req = super().get_request()
+            self.accepts += 1
+            return req
+
+    srv = CountingServer(("127.0.0.1", 0), KH)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield srv, f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_urllib_keepalive_single_connection(keepalive_server):
+    """N same-host requests through one transport on one thread reuse
+    ONE TCP connection (the round-3 'Missing #3' fix: per-request
+    handshakes dominated same-host chains)."""
+    srv, base = keepalive_server
+    t = UrllibTransport()
+    for i in range(6):
+        r = fetch_one(t, f"{base}/page{i}")
+        assert r["code"] == 200 and f"/page{i}".encode() in r["content"]
+    assert srv.accepts == 1
+
+
+def test_urllib_stale_keepalive_reconnects(keepalive_server):
+    """A cached socket the server has dropped gets one transparent
+    fresh-connection retry, not a 599."""
+    srv, base = keepalive_server
+    t = UrllibTransport()
+    assert fetch_one(t, f"{base}/a")["code"] == 200
+    # simulate an idle-timeout drop: kill the cached socket under it
+    (conn,) = t._local.conns.values()
+    conn.sock.close()
+    assert fetch_one(t, f"{base}/b")["code"] == 200
+    assert srv.accepts == 2  # exactly one reconnect
+
+
+def test_urllib_wire_read_capped(keepalive_server):
+    """max_content caps the transport read itself (executor-memory
+    guard), and a truncated connection is NOT reused."""
+    srv, base = keepalive_server
+    t = UrllibTransport(max_content=1024)
+    r = fetch_one(t, f"{base}/big", max_content=1024)
+    assert r["code"] == 200 and len(r["content"]) == 1024
+    assert t._local.conns == {}  # mid-body abandon → closed, not cached
+    assert fetch_one(t, f"{base}/after")["code"] == 200  # reconnects fine
+
+
 # --- layer 3: the Spark stage + engine equivalence ---------------------
 
 

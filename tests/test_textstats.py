@@ -51,6 +51,22 @@ def test_simhash_is_64_bit_signed():
     assert seen_high  # high 32 bits are populated, not zero-padded 32-bit
 
 
+def test_token_hash_halves_independent():
+    """Round-3 advice (medium): the old high half crc32(t, seed) was
+    crc32(t) XOR C(len(t)) by CRC linearity — hi^lo CONSTANT per token
+    length, mirroring low bits into high and doubling near-dup Hamming
+    distance. With md5-derived halves, hi^lo must vary freely within a
+    length class."""
+    from hashlib import md5
+
+    toks = [f"tok{i:04d}".encode() for i in range(200)]  # all same length
+    xors = set()
+    for t in toks:
+        h = int.from_bytes(md5(t).digest()[:8], "little")
+        xors.add((h >> 32) ^ (h & 0xFFFFFFFF))
+    assert len(xors) > 190  # crc-seeded scheme would give len(xors) == 1
+
+
 def test_engine_analyze_mode(spark, smoke_fixtures, tmp_path):
     """One round with analyze=True: results JSON carries the analysis
     fields, and they match the plain-python kernel on the golden text."""
@@ -95,11 +111,10 @@ def _analyze_reference(text: str) -> tuple[int, str, float, int]:
     reference for the ASCII bytes tokenizer."""
     import numpy as np
     from collections import Counter
-    from zlib import crc32
+    from hashlib import md5
 
     from pyspider_spark.ops.textstats import (
         _BITS64,
-        _CRC_HI_INIT,
         _PUNCT,
         _TOKEN_RE,
         STOP_DE,
@@ -127,12 +142,10 @@ def _analyze_reference(text: str) -> tuple[int, str, float, int]:
         + 0.3 * len_sanity,
         6,
     )
-    u = len(counts)
     bts = [t.encode() for t in counts]
-    lo = np.fromiter((crc32(t) for t in bts), dtype=np.uint64, count=u)
-    hi = np.fromiter((crc32(t, _CRC_HI_INIT) for t in bts), dtype=np.uint64, count=u)
-    hs = (hi << np.uint64(32)) | lo
-    w = np.fromiter(counts.values(), dtype=np.int64, count=u)
+    dig = b"".join(md5(t).digest() for t in bts)
+    hs = np.frombuffer(dig, dtype="<u8")[0::2]
+    w = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
     bits = ((hs[:, None] >> _BITS64) & np.uint64(1)).astype(np.int64)
     acc = ((bits * 2 - 1) * w[:, None]).sum(axis=0)
     uh = int(((acc > 0).astype(np.uint64) << _BITS64).sum(dtype=np.uint64))
