@@ -1105,9 +1105,19 @@ FROM merged
 
 
 def q_bloom_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J2 rows-only — partitioned numpy bloom kernel probe: per
-    partition insert even-k urls, probe all; report exact counts.
-    Bloom has no false negatives ⇒ hits ≥ n_even per partition."""
+    """J2 HASH-CHECKED (round-3 verdict #3 flipped the last
+    ``no_oracle`` row) — the partitioned numpy bloom kernel's PER-KEY
+    verdict, false positives included: per pid partition insert even-k
+    taskids, probe every key, emit (k, pid, seen).
+
+    The oracle replicates the kernel's exact bit semantics in SQL —
+    taskid = md5(url), (h1, h2) = the digest's two big-endian uint64
+    halves, positions h1 + i·h2 + i² (mod 2^64, mod m) for i < k
+    (Kirsch–Mitzenmacher, ``kernels/bloom.py — _positions``), and
+    ``seen`` ⇔ all k positions are in the pid's inserted-position set.
+    That is bloom membership BY DEFINITION, so the oracle reproduces
+    the same false positives and any kernel defect (hashing, bit
+    packing, wraparound) is a value mismatch, not an FP-count guess."""
     import pandas as pd
 
     from pyspider_spark.kernels.bloom import BloomFilter
@@ -1115,31 +1125,58 @@ def q_bloom_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     fr = _frontier_df(spark, sf_dir).select(
         "k",
         F.md5("url").alias("taskid"),
-        F.pmod(F.crc32(F.col("url").cast("binary")), F.lit(8)).cast("int").alias("pid"),
+    ).withColumn(
+        # pid from the taskid's first hex byte — md5-derived so the
+        # DuckDB oracle computes the identical partitioning (crc32 has
+        # no DuckDB builtin)
+        "pid", (F.conv(F.substring("taskid", 1, 2), 16, 10).cast("int") % 8),
     )
 
     def probe(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        bf = BloomFilter(m_bits=1 << 18, k=7)
-        even = pdf[pdf["k"] % 2 == 0]["taskid"]
-        bf.add_many(even)
-        hits = bf.contains_many(pdf["taskid"])
+        bf = BloomFilter(m_bits=BLOOM_SEEN_M, k=BLOOM_SEEN_K)
+        bf.add_many(pdf[pdf["k"] % 2 == 0]["taskid"])
         return pd.DataFrame(
             {
-                "pid": [int(key[0])],
-                "n_rows": [len(pdf)],
-                "n_inserted": [len(even)],
-                "n_hits": [int(hits.sum())],
-                "n_false_pos": [int(hits.sum()) - len(even)],
+                "k": pdf["k"],
+                "pid": int(key[0]),
+                "seen": bf.contains_many(pdf["taskid"]),
             }
         )
 
-    return (
-        fr.groupBy("pid")
-        .applyInPandas(
-            probe,
-            "pid int, n_rows long, n_inserted long, n_hits long, n_false_pos long",
-        )
-    )
+    return fr.groupBy("pid").applyInPandas(probe, "k bigint, pid int, seen boolean")
+
+
+# deliberately UNDERSIZED m: at sf0.01 this drives ~140 real false
+# positives through the gate (m=2^18 would give FPR ~1e-6 and the
+# "FPs reproduced exactly" claim would never be exercised)
+BLOOM_SEEN_M = 8192
+BLOOM_SEEN_K = 7
+
+# exact SQL replica of kernels/bloom.py bit semantics (see q_bloom_seen)
+ORACLE_BLOOM_SEEN = f"""
+WITH {FRONTIER_CTE},
+keys AS (
+  SELECT k, md5(url) AS taskid,
+         CAST(concat('0x', substr(md5(url), 1, 2)) AS INT) % 8 AS pid
+  FROM frontier
+),
+h AS (
+  SELECT k, pid, (k % 2 = 0) AS inserted,
+         CAST(CAST(concat('0x', substr(taskid, 1, 16)) AS UBIGINT) AS HUGEINT) AS h1,
+         CAST(CAST(concat('0x', substr(taskid, 17, 16)) AS UBIGINT) AS HUGEINT) AS h2
+  FROM keys
+),
+p AS (
+  SELECT k, pid, inserted,
+         CAST(((h1 + i.range * h2 + i.range * i.range)
+               % 18446744073709551616) % {BLOOM_SEEN_M} AS BIGINT) AS pos
+  FROM h CROSS JOIN range({BLOOM_SEEN_K}) i
+),
+ins_pos AS (SELECT DISTINCT pid, pos FROM p WHERE inserted)
+SELECT p.k, p.pid, bool_and(ip.pos IS NOT NULL) AS seen
+FROM p LEFT JOIN ins_pos ip ON ip.pid = p.pid AND ip.pos = p.pos
+GROUP BY p.k, p.pid
+"""
 
 
 def q_probe_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2142,7 +2179,7 @@ CUSTOM: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     "corpus_export_shards": (q_corpus_export, ORACLE_CORPUS_EXPORT),
     "sim_ann_topk": (q_ann_topk, ORACLE_ANN_TOPK),
     "sim_ann_topk_ivf": (q_ann_topk_ivf, ORACLE_ANN_TOPK),
-    "crawl_bloom_seen": (q_bloom_seen, None),
+    "crawl_bloom_seen": (q_bloom_seen, ORACLE_BLOOM_SEEN),
     "crawl_probe_verified": (q_probe_verified, ORACLE_PROBE_VERIFIED),
     "mm_decode_features": (q_multimodal_features, ORACLE_MM_FEATURES),
     "mm_resize": (q_multimodal_resize, ORACLE_MM_RESIZE),

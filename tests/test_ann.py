@@ -86,6 +86,54 @@ def test_train_ivf_deterministic_unit_norm(spark):
     assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
 
 
+def test_two_level_reduce_bounds_and_values(spark):
+    """Round-3 verdict #2: the partial-sum reduce must be TWO-level so
+    no task holds O(n_batches) rows. Level 1 caps every cent_id at
+    n_salts pre-reduced rows (the level-2 group bound); values must
+    equal the plain per-centroid sums and be run-to-run identical."""
+    from pyspider_spark.ops.ann import _PARTIAL_SCHEMA, _reduce_partials
+
+    rows = []
+    for b in range(100):  # 100 "Arrow batches" × 2 centroids
+        for cid in (0, 1):
+            rows.append((cid, b * 10, 3, [float(b), float(cid), 1.0]))
+    partials = spark.createDataFrame(rows, _PARTIAL_SCHEMA)
+
+    n_salts = 4
+    lvl1 = (
+        partials.withColumn(
+            "salt", F.pmod(F.xxhash64(F.col("bkey")), F.lit(n_salts)).cast("int")
+        )
+        .groupBy("cent_id", "salt")
+        .count()
+        .collect()
+    )
+    # level-2 group size = number of level-1 rows per cent_id ≤ n_salts
+    per_cent: dict[int, int] = {}
+    for r in lvl1:
+        per_cent[r["cent_id"]] = per_cent.get(r["cent_id"], 0) + 1
+    assert all(v <= n_salts for v in per_cent.values())
+    # level-1 tasks each fold ~n_batches/n_salts partials, not all 100:
+    # hashed salting spreads even stride-10 bkeys (mod-salting would
+    # hit only 2 of 4 classes here); allow 2x expected for hash skew
+    assert all(r["count"] <= 2 * (100 // n_salts) for r in lvl1)
+    assert len(per_cent) == 2 and all(v >= 3 for v in per_cent.values())
+
+    out1 = {
+        r["cent_id"]: (r["cnt"], r["vsum"])
+        for r in _reduce_partials(partials, n_salts=n_salts).collect()
+    }
+    out2 = {
+        r["cent_id"]: (r["cnt"], r["vsum"])
+        for r in _reduce_partials(partials, n_salts=n_salts).collect()
+    }
+    assert out1 == out2  # bit-reproducible
+    for cid in (0, 1):
+        cnt, vsum = out1[cid]
+        assert cnt == 300
+        assert vsum == [float(sum(range(100))), float(cid) * 100, 100.0]
+
+
 def test_ivf_assign_is_argmax(spark):
     df, _ = _clustered(spark, n_clusters=3, per_cluster=10)
     cents = train_ivf(spark, df, n_centroids=3, n_iters=2)
