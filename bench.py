@@ -674,9 +674,11 @@ def run_scaling_cluster(
     ceilings = {"cpu_cold": _machine_cpu_ceiling()}
     legs: dict[int, list[dict]] = {1: [], 2: [], 4: [], 8: []}
     # interleave: big legs sample early (cool) and late (hot) states;
-    # every leg runs the identical 3-round job (steady = rounds 1-2),
-    # the slow 1-exec leg once, the others twice (best-of)
-    plan = [(4, 3), (2, 3), (8, 3), (1, 3), (4, 3), (2, 3), (8, 3)]
+    # every leg runs the identical 3-round job (steady = rounds 1-2).
+    # EVERY size gets the SAME rep count (2, best-of) — round-3 advice:
+    # best-of-2 numerators over a single N=1 denominator biased the
+    # reported 1->4 efficiency upward on this box's noisy legs
+    plan = [(4, 3), (2, 3), (8, 3), (1, 3), (4, 3), (1, 3), (2, 3), (8, 3)]
     for n_exec, rounds in plan:
         legs[n_exec].append(
             _run_leg(

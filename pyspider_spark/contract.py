@@ -1922,6 +1922,10 @@ _CONVERTED_ORACLE: dict[str, str] = {
         "crawl_status_count",
         "crawl_fetch_join",
         "results_select_page",
+        "crawl_politeness_topk",
+        "crawl_seen_antijoin",
+        "crawl_follows_collapse",
+        "crawl_cron_due",
     )
 }
 
@@ -2143,7 +2147,208 @@ ORACLE_RESULTS_PAGE = _CONVERTED_ORACLE["results_select_page"].replace(
 )
 
 
+# --- round-4 conversions: the last spec pins with engine twins ---------
+
+TOPK_BUDGET = 120  # O3 round budget for the politeness_topk gate
+
+
+def q_politeness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1+O2+O3 via the REAL politeness pass — ``schedule_round`` from
+    cold state with rate=1.0/burst=BURST (the stateless per-host
+    top-burst admission) AND a ``round_budget``, so this gate also
+    exercises the O3 global cut (TakeOrdered over ``order_cols()``)
+    that its stateful sibling leaves unbounded. Oracle: per-host
+    top-BURST in O1 order, then the global O1-ordered top-TOPK_BUDGET."""
+    from pyspider_spark.config import RoundConfig
+    from pyspider_spark.engine import schema as S
+    from pyspider_spark.engine.politeness import schedule_round
+    from pyspider_spark.engine.stages import order_cols
+
+    cfg = RoundConfig(
+        rate=1.0, burst=float(BURST), n_partitions=4, round_budget=TOPK_BUDGET
+    )
+    fr = _frontier_df(spark, sf_dir)
+    cands = fr.filter(
+        (F.col("status") == 1)
+        & (F.col("exetime") <= F.lit(NOW))
+        & F.col("project").isin("p0", "p1")
+    ).select(
+        "project",
+        F.md5("url").alias("taskid"),
+        "url",
+        F.col("url").alias("canon_url"),
+        "host",
+        "priority",
+        "exetime",
+        F.lit(-1.0).alias("age"),
+        F.lit(False).alias("auto_recrawl"),
+        F.lit("index_page").alias("callback"),
+        F.lit(3).alias("retries_left"),
+        "k",
+    )
+    robots = S.empty_df(spark, "host string, robots_txt string")
+    host_state = S.empty_df(spark, S.HOST_STATE_SCHEMA)
+    sched, _blocked, checked = schedule_round(
+        cands.drop("k"), robots, host_state, cfg, NOW
+    )
+    w = Window.orderBy(*order_cols())
+    out = (
+        sched.join(cands.select("taskid", "k"), "taskid")
+        .withColumn("grank", F.row_number().over(w).cast("int"))
+        .select("k", "host", F.col("canon_url").alias("url"), "priority", "grank")
+    )
+    out = out.localCheckpoint(eager=True)  # then free the gate's cache
+    checked.unpersist()
+    return out
+
+
+ORACLE_POLITENESS_TOPK = f"""
+WITH {FRONTIER_CTE},
+cand AS (
+  SELECT k, url, host, priority, exetime, md5(url) AS taskid, project FROM frontier
+  WHERE status = 1 AND exetime <= {NOW} AND project IN ('p0', 'p1')
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY host
+            ORDER BY priority DESC, exetime ASC, taskid ASC) AS rnk
+  FROM cand
+),
+admitted AS (SELECT * FROM ranked WHERE rnk <= {BURST}),
+cut AS (
+  SELECT *, row_number() OVER (
+    ORDER BY priority DESC, exetime ASC, taskid ASC, project ASC) AS grank
+  FROM admitted
+)
+SELECT k, host, url, priority, CAST(grank AS INT) AS grank
+FROM cut WHERE grank <= {TOPK_BUDGET}
+"""
+
+
+def q_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 via the ENGINE's URL-seen path — ``seen.probe_and_update``
+    (real bloom+cuckoo blobs) + the merge-side FP resolution, emitting
+    the rows that SURVIVE the anti-join (never-seen → schedulable),
+    exactly how a round decides which follows are new. Oracle is the
+    exact NOT EXISTS over the inserted key set: bloom FPs must be
+    resolved away, and a bloom false negative (impossible by
+    construction) would surface as an extra row."""
+    from pyspider_spark.config import RoundConfig
+    from pyspider_spark.engine.round import pid_col
+    from pyspider_spark.engine.seen import probe_and_update
+
+    cfg = RoundConfig(n_partitions=4)
+    base = _frontier_df(spark, sf_dir).select(
+        "k",
+        "url",
+        "project",
+        F.md5("url").alias("taskid"),
+        F.md5(F.concat_ws("|", "project", "url")).alias("seen_k"),
+        pid_col(cfg.n_partitions).alias("pid"),
+    )
+    cols = ["project", "taskid", "seen_k", "pid"]
+    ins = base.filter(F.col("k") % 2 == 0)
+    p1 = probe_and_update(
+        ins.select(*cols).withColumn("cancel", F.lit(False)), {}, cfg
+    )
+    blobs = {
+        int(row["pid"]): (
+            bytes(row["bloom_blob"]),
+            bytes(row["cuckoo_blob"]),
+            int(row["n_keys"]),
+        )
+        for row in p1.filter(F.col("project").isNull()).collect()
+    }
+    p2 = probe_and_update(
+        base.select(*cols).withColumn("cancel", F.lit(False)), blobs, cfg
+    )
+    verdicts = p2.filter(F.col("project").isNotNull()).select(
+        "project", "taskid", "seen"
+    )
+    member = ins.select("project", "taskid").withColumn("m", F.lit(True))
+    return (
+        verdicts.join(F.broadcast(member), ["project", "taskid"], "left")
+        .filter(~(F.col("seen") & F.coalesce(F.col("m"), F.lit(False))))
+        .join(base.select("k", "url", "project", "taskid"), ["project", "taskid"])
+        .select("k", "url")
+    )
+
+
+def q_follows_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1+A4 via the ENGINE's real path: follows union streamed through
+    ``stages.normalize_updates`` (canonicalize + taskid/host/pid
+    derivation, Arrow batch) then ``stages.collapse_updates`` (the
+    max-priority / min-exetime per-key hash agg the reference's
+    PriorityTaskQueue.put performs). dup_cnt comes from the same
+    normalized frame so the oracle checks multiplicity too."""
+    from pyspider_spark.config import RoundConfig
+    from pyspider_spark.engine.stages import collapse_updates, normalize_updates
+
+    register_views(spark, sf_dir)
+    li = spark.table("lineitem")
+    f1 = li.filter(F.col("l_orderkey") % 4 == 0).select(
+        F.concat(
+            F.lit("http://host"),
+            F.col("l_suppkey") % 50,
+            F.lit(".example/p/"),
+            F.col("l_partkey"),
+        ).alias("url"),
+        F.col("l_linenumber").cast("int").alias("priority"),
+        (F.lit(T0) + (F.col("l_orderkey") % 60).cast("double")).alias("exetime"),
+    )
+    f2 = li.filter(F.col("l_orderkey") % 4 == 1).select(
+        F.concat(
+            F.lit("http://host"),
+            F.col("l_partkey") % 50,
+            F.lit(".example/p/"),
+            F.col("l_suppkey"),
+        ).alias("url"),
+        (F.col("l_quantity").cast("int") % 10).cast("int").alias("priority"),
+        (F.lit(T0) + (F.col("l_partkey") % 60).cast("double")).alias("exetime"),
+    )
+    norm = normalize_updates(f1.unionByName(f2), RoundConfig(n_partitions=4))
+    coll = collapse_updates(norm)
+    cnt = norm.groupBy("taskid").agg(F.count("*").alias("dup_cnt"))
+    return coll.join(cnt, "taskid").select(
+        "taskid", "url", "priority", "exetime", "dup_cnt"
+    )
+
+
+def q_cron_due(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 via the ENGINE's cron kernel — ``round.cron_due_rows`` (the
+    standalone the round loop's ``_cron_rows`` delegates to) over a
+    nation-derived projects dim with per-project tick and last-emitted
+    state; the oracle states the due rule directly. Driver-side by
+    design (projects are a tiny dim — SURVEY §2.2)."""
+    from pyspider_spark.engine.round import cron_due_rows
+
+    register_views(spark, sf_dir)
+    nat = spark.table("nation").select("n_nationkey", "n_name").collect()
+    proj = {
+        f"proj_{r['n_name']}": {
+            "min_tick": (r["n_nationkey"] + 1) * 60,
+            "status": "RUNNING",
+        }
+        for r in nat
+    }
+    state = {f"proj_{r['n_name']}": r["n_nationkey"] % 3 for r in nat}
+    rows, _new_state = cron_due_rows(proj, state, now=T0 + 3600.0, t0=T0)
+    out = [
+        (name, proj[name]["min_tick"], int(url.rsplit("|", 1)[1]))
+        for url, name, _cb in rows
+    ]
+    return spark.createDataFrame(
+        out, "project string, tick_s bigint, due_k bigint"
+    )
+
+
 CUSTOM: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "crawl_politeness_topk": (q_politeness_topk, ORACLE_POLITENESS_TOPK),
+    "crawl_seen_antijoin": (q_seen_antijoin, _CONVERTED_ORACLE["crawl_seen_antijoin"]),
+    "crawl_follows_collapse": (
+        q_follows_collapse,
+        _CONVERTED_ORACLE["crawl_follows_collapse"],
+    ),
+    "crawl_cron_due": (q_cron_due, _CONVERTED_ORACLE["crawl_cron_due"]),
     "crawl_taskid_md5": (q_taskid_md5, _CONVERTED_ORACLE["crawl_taskid_md5"]),
     "crawl_host_extract": (q_host_extract, _CONVERTED_ORACLE["crawl_host_extract"]),
     "crawl_candidates": (q_candidates, _CONVERTED_ORACLE["crawl_candidates"]),
@@ -2163,7 +2368,7 @@ CUSTOM: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     "sim_lsh_near_dup": (q_lsh_near_dup, _sql_lsh_near_dup("duck")),
     "crawl_schedule_stateful": (
         q_schedule_stateful,
-        COMMON_SQL["crawl_politeness_topk"],
+        _CONVERTED_ORACLE["crawl_politeness_topk"],
     ),
     "crawl_schedule_multiproject": (
         q_schedule_multiproject,

@@ -61,6 +61,36 @@ from pyspider_spark.engine.stages import (
 SCHEDULABLE = ("RUNNING", "DEBUG")
 
 
+def cron_due_rows(
+    proj_rows: dict,
+    cron_state: dict[str, int],
+    now: float,
+    t0: float,
+    paused: "set[str] | frozenset" = frozenset(),
+) -> tuple[list, dict]:
+    """F9 cron kernel (``base_handler.every`` / scheduler ``_check_cron``):
+    due tick index k = floor(elapsed / min_tick); a project emits one
+    ``_on_cronjob`` row iff k advanced past the last-emitted index in
+    ``cron_state``. Standalone so the contract gate drives the SAME
+    decision the round loop does (``CrawlEngine._cron_rows`` delegates
+    here). Driver-side by design: projects are a tiny dim table."""
+    rows, new_state = [], dict(cron_state)
+    for name in sorted(proj_rows):
+        p = proj_rows[name]
+        tick = p.get("min_tick") or 0
+        if (
+            tick > 0
+            and p["status"] in SCHEDULABLE
+            and name not in paused
+            and now - t0 >= 0
+        ):
+            k = int((now - t0) // tick)
+            if k > new_state.get(name, -1):
+                new_state[name] = k
+                rows.append((f"data:,_on_cronjob|{name}|{k}", name, "_on_cronjob"))
+    return rows, new_state
+
+
 def pid_col(n_partitions: int, host: str = "host") -> Column:
     """JVM-side twin of ``kernels.canon.partition_of`` — first 4 bytes
     of md5(host) as big-endian int, mod n (byte-equal by construction,
@@ -469,22 +499,9 @@ class CrawlEngine:
     def _cron_rows(
         self, cron_state: dict[str, int], now: float, paused: set[str] = frozenset()
     ) -> tuple[list, dict]:
-        cfg = self.cfg
-        rows, new_state = [], dict(cron_state)
-        for name in sorted(self._proj_rows):
-            p = self._proj_rows[name]
-            tick = p.get("min_tick") or 0
-            if (
-                tick > 0
-                and p["status"] in SCHEDULABLE
-                and name not in paused
-                and now - cfg.t0 >= 0
-            ):
-                k = int((now - cfg.t0) // tick)
-                if k > new_state.get(name, -1):
-                    new_state[name] = k
-                    rows.append((f"data:,_on_cronjob|{name}|{k}", name, "_on_cronjob"))
-        return rows, new_state
+        return cron_due_rows(
+            self._proj_rows, cron_state, now, self.cfg.t0, paused
+        )
 
     # ---- one round ----------------------------------------------------------
     def run_round(self, r: int, inject: DataFrame | None = None) -> dict:
