@@ -1926,6 +1926,7 @@ _CONVERTED_ORACLE: dict[str, str] = {
         "crawl_seen_antijoin",
         "crawl_follows_collapse",
         "crawl_cron_due",
+        "dedup_exact",
     )
 }
 
@@ -2224,6 +2225,15 @@ FROM cut WHERE grank <= {TOPK_BUDGET}
 """
 
 
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via the ENGINE op ``ops/dedup.exact_dedup`` (the
+    cheap pre-banding pass of the corpus pipeline) over the augmented
+    docs frame — one map-side-combined hash agg, same SQL oracle."""
+    from pyspider_spark.ops.dedup import exact_dedup
+
+    return exact_dedup(_docs_aug_df(spark, sf_dir))
+
+
 def q_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 via the ENGINE's URL-seen path — ``seen.probe_and_update``
     (real bloom+cuckoo blobs) + the merge-side FP resolution, emitting
@@ -2349,6 +2359,7 @@ CUSTOM: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
         _CONVERTED_ORACLE["crawl_follows_collapse"],
     ),
     "crawl_cron_due": (q_cron_due, _CONVERTED_ORACLE["crawl_cron_due"]),
+    "dedup_exact": (q_dedup_exact, _CONVERTED_ORACLE["dedup_exact"]),
     "crawl_taskid_md5": (q_taskid_md5, _CONVERTED_ORACLE["crawl_taskid_md5"]),
     "crawl_host_extract": (q_host_extract, _CONVERTED_ORACLE["crawl_host_extract"]),
     "crawl_candidates": (q_candidates, _CONVERTED_ORACLE["crawl_candidates"]),

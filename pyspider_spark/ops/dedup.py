@@ -305,6 +305,21 @@ def min_label_components(
     )
 
 
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact-copy clusters: (text_hash, keeper, n_copies) for every
+    md5-identical text group with more than one member. The trivial
+    scale path — ONE hash aggregation with map-side combine (Catalyst
+    partial+final HashAggregate), no shuffle beyond the 16-byte-key
+    exchange; at 10^10 docs this is the cheap pass that runs BEFORE
+    MinHash/SimHash so boilerplate clusters never reach banding
+    (:func:`candidate_pairs`' hot-band guard assumes it)."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
 def dedup_corpus(
     docs: DataFrame,
     threshold: float = 0.5,
