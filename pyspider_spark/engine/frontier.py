@@ -77,17 +77,25 @@ def entries_of(man: dict | None) -> dict[int, dict]:
 
 
 def read_resolved(
-    spark: SparkSession, snap, entries: dict[int, dict], pids
+    spark: SparkSession, snap, entries: dict[int, dict], pids,
+    broadcast_max_keys: int = 4_000_000,
 ) -> DataFrame:
     """The live frontier rows of `pids`, merge-on-read resolved.
 
     base ⊖ outstanding-delta-keys ⊕ latest-delta-per-key (tombstones
-    filtered). The base scan is streamed against a broadcast of the
-    delta keys (write-time invariant keeps them under
-    ``frontier_delta_max_keys``); the latest-wins window shuffles only
-    delta rows. Each (key, dseq) pair is unique by construction — a
-    round's delta holds at most one row per key — so latest-wins is
-    deterministic."""
+    filtered). The anti-join side is broadcast ONLY when the parquet
+    footers prove the outstanding delta rows (an upper bound on
+    distinct keys) fit ``broadcast_max_keys``; past the bound it
+    becomes a plain shuffle anti-join. The bound matters exactly once:
+    the global-compaction trigger fires BECAUSE the deltas outgrew
+    ``frontier_delta_max_keys``, and the fold it forces then resolves
+    those same oversized deltas — an unconditional ``F.broadcast``
+    here crashed the 64 M-row soak with Spark's 8 GB broadcast-table
+    cap (round-4 finding; a 10^10-URL frontier injection round is the
+    production twin). Steady rounds keep the broadcast plan: the
+    write-time invariant caps their deltas well under the bound. The
+    latest-wins window shuffles only delta rows; each (key, dseq) pair
+    is unique by construction, so latest-wins is deterministic."""
     ents = [entries[p] for p in pids if p in entries]
     bases = [snap.abspath(e["base"]) for e in ents if e["base"]]
     deltas = [snap.abspath(d) for e in ents for d in e["deltas"]]
@@ -104,9 +112,12 @@ def read_resolved(
         .filter((F.col("_rn") == 1) & ~F.col("is_delete"))
         .select(*FR_COLS)
     )
-    return base_df.join(
-        F.broadcast(dd.select(*KEY).distinct()), KEY, "left_anti"
-    ).unionByName(live)
+    from pyspider_spark.engine.round import _parquet_rows
+
+    keys = dd.select(*KEY).distinct()
+    if sum(_parquet_rows(d) for d in deltas) <= broadcast_max_keys:
+        keys = F.broadcast(keys)
+    return base_df.join(keys, KEY, "left_anti").unionByName(live)
 
 
 def tombstone_cols() -> list:

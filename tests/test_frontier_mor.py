@@ -211,6 +211,27 @@ def test_cancel_tombstone_under_mor(spark, smoke_fixtures, tmp_path):
     assert _live_lineage(eng) == _actual_pid_counts(eng, MOR_CFG.n_partitions)
 
 
+def test_resolve_shuffle_anti_join_equals_broadcast(spark, smoke_fixtures, tmp_path):
+    """Round-4 soak finding: the MoR resolve force-broadcast ALL
+    outstanding delta keys — at a 64 M-row injection round (the 10^10
+    production twin) that crashes Spark's 8 GB broadcast cap exactly
+    when the global-compaction fold needs the resolve most. Above
+    ``broadcast_max_keys`` the anti-join must go shuffle-side and be
+    row-identical."""
+    from pyspider_spark.engine import frontier as FR
+
+    eng = _run(spark, smoke_fixtures, str(tmp_path / "s"), MOR_CFG, rounds=3)
+    entries = entries_of(eng.snap.read_manifest())
+    pids = sorted(entries)
+    assert any(e["deltas"] for e in entries.values())  # deltas outstanding
+    a = FR.read_resolved(spark, eng.snap, entries, pids)
+    b = FR.read_resolved(spark, eng.snap, entries, pids, broadcast_max_keys=0)
+    assert "ResolvedHint" not in b._jdf.queryExecution().logical().toString()
+    assert sorted(tuple(r) for r in a.collect()) == sorted(
+        tuple(r) for r in b.collect()
+    )
+
+
 def test_rounds_identical_with_broadcast_hints_disabled(spark, smoke_fixtures, tmp_path):
     """Above the row bounds every forced broadcast hint drops and AQE
     picks join strategies — results must be identical (the hints are
