@@ -136,7 +136,10 @@ def main() -> int:
             (st.get("shuffleWriteBytes", 0) + st.get("shuffleReadBytes", 0)) / 1e6
         )
 
-    cores = args.cores
+    # in executor mode the real width is N executors x 4 cores —
+    # --cores only shapes local[] mode and must not inflate the
+    # parallel_frac denominator
+    cores = args.executors * 4 if args.executors else args.cores
     rows = []
     for r in range(args.rounds):
         for name, dur in metrics[r]["phase_s"].items():
@@ -159,6 +162,7 @@ def main() -> int:
             )
     report = {
         "cores": cores,
+        "executors": args.executors,
         "mult": args.mult,
         "rounds": [
             {k: m[k] for k in ("round", "scheduled", "ok", "new_urls", "wall_s")}
