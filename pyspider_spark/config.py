@@ -83,6 +83,13 @@ class RoundConfig:
     frontier_compact_frac: float = 0.2
     frontier_max_delta_dirs: int = 16
     frontier_delta_max_keys: int = 2_000_000
+    # MoR resolve: broadcast the outstanding delta-key set only when
+    # the parquet footers prove it fits this many rows; past it the
+    # anti-join goes shuffle-side (a 64M-key injection round blew
+    # Spark's 8 GB broadcast cap — round-4 soak). Keep this ≥
+    # frontier_delta_max_keys or steady-round resolves lose the
+    # broadcast plan the write-time invariant guarantees them.
+    frontier_broadcast_max_keys: int = 4_000_000
     # Compaction writes each base file clustered by `exetime` in row
     # groups of at most this many bytes, so the candidates scan's
     # pushed-down `exetime <= now` predicate skips never-due row

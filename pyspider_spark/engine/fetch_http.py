@@ -66,6 +66,8 @@ from urllib.parse import urljoin, urlsplit
 
 import pandas as pd
 
+from collections import OrderedDict
+
 from pyspider_spark.config import FETCH_OK, FETCH_TIMEOUT, RoundConfig
 
 REDIRECT_CODES = (301, 302, 303, 307, 308)
@@ -112,38 +114,70 @@ def _headers_from_pairs(pairs) -> dict[str, str]:
     return out
 
 
+# per-thread keep-alive cache bound: a fetch partition deliberately
+# spreads across DISTINCT hosts, so an unbounded per-host cache leaks
+# one open socket per host per pool thread until EMFILE (review
+# finding r4). LRU-evict (close) past this many live sockets/thread.
+MAX_CONNS_PER_THREAD = 16
+# stale-socket retry is only safe for methods the server may see twice
+_IDEMPOTENT = frozenset(("GET", "HEAD", "OPTIONS", "TRACE"))
+
+
 class UrllibTransport:
     """Real stdlib HTTP client (``http.client``) with per-thread
     keep-alive connection reuse. One instance per executor task; the
     connection cache is THREAD-LOCAL, so thread-pool use inside a batch
-    is safe and each pool thread holds at most one socket per
-    (scheme, host, port) — at production crawl rates the per-request
-    TCP/TLS handshake dominates same-host chains otherwise (round-3
-    verdict "Missing" #3). Follows NOTHING itself (redirect/cookie/
-    conditional logic lives in :func:`fetch_one`, uniformly across
-    transports). A stale cached socket (server closed it between
-    requests) gets exactly one fresh-connection retry; reads are capped
-    at ``max_content`` bytes so a hostile host can't blow executor
-    memory (the reference fetcher's max_buffer_size truncation)."""
+    is safe, and it is an LRU bounded at ``MAX_CONNS_PER_THREAD`` live
+    sockets per thread (a partition touches many distinct hosts; see
+    the constant). At production crawl rates the per-request TCP/TLS
+    handshake dominates same-host chains otherwise (round-3 verdict
+    "Missing" #3). Follows NOTHING itself (redirect/cookie/conditional
+    logic lives in :func:`fetch_one`, uniformly across transports). A
+    stale cached socket (server closed it between requests) gets
+    exactly one fresh-connection retry — idempotent methods only, a
+    POST must never be double-sent; reads are capped at ``max_content``
+    bytes so a hostile host can't blow executor memory (the reference
+    fetcher's max_buffer_size truncation). ``http_proxy`` /
+    ``https_proxy`` / ``no_proxy`` environment variables are honored
+    (the urllib ProxyHandler behavior the http.client rewrite would
+    otherwise have dropped): http proxies get absolute-URI requests,
+    https goes through CONNECT tunnels."""
 
     def __init__(self, max_content: int = DEFAULT_MAX_CONTENT):
         self.max_content = max_content
         self._local = threading.local()
+        import urllib.request
 
-    def _cache(self) -> dict:
+        self._proxies = urllib.request.getproxies()
+
+    def _cache(self) -> "OrderedDict":
         cache = getattr(self._local, "conns", None)
         if cache is None:
-            cache = self._local.conns = {}
+            cache = self._local.conns = OrderedDict()
         return cache
 
-    @staticmethod
-    def _connect(scheme: str, host: str, port: int | None, timeout: float):
-        cls = (
-            http.client.HTTPSConnection
-            if scheme == "https"
-            else http.client.HTTPConnection
-        )
-        return cls(host, port, timeout=timeout)
+    def _proxy_for(self, scheme: str, host: str) -> tuple[str, int] | None:
+        import urllib.request
+
+        purl = self._proxies.get(scheme)
+        if not purl or urllib.request.proxy_bypass(host):
+            return None
+        pp = urlsplit(purl if "://" in purl else f"http://{purl}")
+        return (pp.hostname or "", pp.port or 8080)
+
+    def _connect(self, scheme: str, host: str, port: int | None, timeout: float):
+        proxy = self._proxy_for(scheme, host)
+        if scheme == "https":
+            if proxy:
+                conn = http.client.HTTPSConnection(*proxy, timeout=timeout)
+                conn.set_tunnel(host, port)
+                return conn
+            return http.client.HTTPSConnection(host, port, timeout=timeout)
+        if proxy:
+            conn = http.client.HTTPConnection(*proxy, timeout=timeout)
+            conn._via_http_proxy = True  # absolute-URI request form
+            return conn
+        return http.client.HTTPConnection(host, port, timeout=timeout)
 
     def request(
         self, method: str, url: str, headers: dict[str, str], timeout: float
@@ -172,6 +206,8 @@ class UrllibTransport:
                 conn.close()
                 conn = self._connect(parts.scheme, host, parts.port, timeout)
                 reused = False
+        if getattr(conn, "_via_http_proxy", False):
+            path = url  # plain-http proxies take the absolute URI
         resp = None
         for attempt in (0, 1):
             try:
@@ -183,8 +219,10 @@ class UrllibTransport:
                 raise TransportTimeout(f"timeout: {e or 'read timed out'}") from e
             except (http.client.HTTPException, OSError) as e:
                 conn.close()
-                if reused and attempt == 0:
-                    # stale keep-alive socket — one fresh-connection retry
+                if reused and attempt == 0 and method in _IDEMPOTENT:
+                    # stale keep-alive socket — one fresh-connection
+                    # retry; non-idempotent methods must not risk the
+                    # server having already processed the first send
                     conn = self._connect(parts.scheme, host, parts.port, timeout)
                     reused = False
                     continue
@@ -204,6 +242,10 @@ class UrllibTransport:
             conn.close()  # mid-body abandon / server asked to close
         else:
             cache[key] = conn  # keep-alive: reuse for the next same-host hit
+            cache.move_to_end(key)
+            while len(cache) > MAX_CONNS_PER_THREAD:
+                _, old = cache.popitem(last=False)  # LRU evict → close
+                old.close()
         return TResponse(resp.status, _headers_from_pairs(resp.getheaders()), body)
 
 
@@ -346,9 +388,14 @@ def fetch_one(
             if resp.status == NOT_MODIFIED:
                 body = None  # content unchanged since etag/last_modified
             elif "gzip" in enc or "deflate" in enc:
+                # EOFError: gzip magic matched but the stream is
+                # truncated — routine at crawl scale (and guaranteed
+                # when the wire cap cut a gzip body mid-stream); it is
+                # neither OSError nor zlib.error and must not escape
+                # into the Spark task (review finding r4)
                 try:
                     body = _gunzip(resp.body)
-                except (OSError, zlib.error) as e:
+                except (OSError, EOFError, zlib.error) as e:
                     return _result(
                         FETCH_TIMEOUT, None, cur, url, resp.headers,
                         error=f"bad gzip body: {e}",

@@ -189,6 +189,7 @@ def compact(
     out_dir: str,
     n_partitions: int,
     row_group_bytes: int = 16 << 20,
+    broadcast_max_keys: int = 4_000_000,
 ) -> dict[int, int]:
     """Fold `pids`' base+deltas into fresh bases under `out_dir`
     (Iceberg ``rewrite_data_files``). Mutates `entries`; returns exact
@@ -203,7 +204,9 @@ def compact(
     skip the never-due mass, making that scan O(due) not O(frontier)."""
     from pyspider_spark.engine.round import _parquet_rows, pid_col
 
-    resolved = read_resolved(spark, snap, entries, pids)
+    resolved = read_resolved(
+        spark, snap, entries, pids, broadcast_max_keys=broadcast_max_keys
+    )
     (
         resolved.withColumn("pid", pid_col(n_partitions))
         .repartition(F.col("pid"))

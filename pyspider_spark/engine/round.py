@@ -329,7 +329,10 @@ class CrawlEngine:
     def _read_frontier(self, dirs: dict[int, dict], pids) -> DataFrame:
         """MoR-resolved live rows of `pids` (base ⊖ delta-keys ⊕
         latest-delta; tombstones filtered)."""
-        return FR.read_resolved(self.spark, self.snap, dirs, pids)
+        return FR.read_resolved(
+            self.spark, self.snap, dirs, pids,
+            broadcast_max_keys=self.cfg.frontier_broadcast_max_keys,
+        )
 
     # ---- partitioned host_state (same MERGE layout as the frontier:
     # per-host token-bucket rows live in bucket(host) dirs; a round
@@ -854,6 +857,7 @@ class CrawlEngine:
                 snap.table_dir(r, "frontier_base"),
                 cfg.n_partitions,
                 cfg.frontier_rowgroup_bytes,
+                cfg.frontier_broadcast_max_keys,
             )
             comp_pool.shutdown(wait=False)
             self._bg_futs.append(comp_fut)
@@ -1247,6 +1251,7 @@ class CrawlEngine:
                 self.spark, snap, entries, due,
                 snap.table_dir(r, "frontier_base_sync"),
                 cfg.n_partitions, cfg.frontier_rowgroup_bytes,
+                cfg.frontier_broadcast_max_keys,
             )
             compacted = sorted(set(compacted) | set(comp_rows))
             for p, n in comp_rows.items():

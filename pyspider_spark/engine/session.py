@@ -24,12 +24,17 @@ def _default_driver_mem() -> str:
     return "8g"
 
 
+# per-executor core count of local-cluster legs — the single source of
+# truth for cluster-shape math (scaling bench legs, profiler width)
+EXECUTOR_CORES = 4
+
+
 def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     app_name: str = "pyspider_spark",
     n_executors: int | None = None,
-    executor_cores: int = 4,
+    executor_cores: int = EXECUTOR_CORES,
     executor_mem_mb: int = 10240,
 ) -> SparkSession:
     """local[cores] session; AQE + Arrow on.

@@ -136,10 +136,12 @@ def main() -> int:
             (st.get("shuffleWriteBytes", 0) + st.get("shuffleReadBytes", 0)) / 1e6
         )
 
-    # in executor mode the real width is N executors x 4 cores —
+    # in executor mode the real width is N executors x EXECUTOR_CORES —
     # --cores only shapes local[] mode and must not inflate the
     # parallel_frac denominator
-    cores = args.executors * 4 if args.executors else args.cores
+    from pyspider_spark.engine.session import EXECUTOR_CORES
+
+    cores = args.executors * EXECUTOR_CORES if args.executors else args.cores
     rows = []
     for r in range(args.rounds):
         for name, dur in metrics[r]["phase_s"].items():

@@ -308,6 +308,124 @@ def test_max_content_truncates_after_decompress():
     assert r2["content"] == b"B" * 1000
 
 
+def test_truncated_gzip_is_599_not_crash():
+    """Review finding r4: gzip.decompress raises EOFError (not OSError/
+    zlib.error) on a truncated stream — guaranteed when the wire cap
+    cuts a gzip body mid-stream — and it must become a 599 result, not
+    an exception that kills the Spark task."""
+    whole = gzip.compress(b"<body>" + b"A" * 50_000 + b"</body>")
+    t = ChainTransport(
+        {"http://a.ex/cut": (200, {"Content-Encoding": "gzip"}, whole[: len(whole) // 2])}
+    )
+    r = fetch_one(t, "http://a.ex/cut")
+    assert r["code"] == 599 and "bad gzip" in r["error"]
+
+
+class _FakeResp:
+    status = 200
+    will_close = False
+
+    def read(self, n=-1):
+        return b"ok"
+
+    def getheaders(self):
+        return []
+
+
+class _FakeSock:
+    def settimeout(self, t):
+        pass
+
+
+class _FakeConn:
+    def __init__(self):
+        self.sock = _FakeSock()
+        self.closed = False
+        self.fail_next = False
+        self.sends = 0
+
+    def request(self, *a, **k):
+        self.sends += 1
+        if self.fail_next:
+            self.fail_next = False
+            raise ConnectionResetError("stale")
+
+    def getresponse(self):
+        return _FakeResp()
+
+    def close(self):
+        self.closed = True
+        self.sock = None
+
+
+def test_conn_cache_is_lru_bounded(monkeypatch):
+    """Review finding r4: a partition spreads across distinct hosts, so
+    the per-thread cache must evict-close past MAX_CONNS_PER_THREAD or
+    it leaks one socket per host until EMFILE."""
+    from pyspider_spark.engine.fetch_http import MAX_CONNS_PER_THREAD
+
+    t = UrllibTransport()
+    made = []
+
+    def fake_connect(scheme, host, port, timeout):
+        c = _FakeConn()
+        made.append(c)
+        return c
+
+    monkeypatch.setattr(t, "_connect", fake_connect)
+    n = MAX_CONNS_PER_THREAD + 5
+    for i in range(n):
+        t.request("GET", f"http://h{i}.ex/", {}, 1.0)
+    assert len(t._local.conns) == MAX_CONNS_PER_THREAD
+    assert sum(c.closed for c in made) == 5
+    assert all(c.closed for c in made[:5])  # oldest-first eviction
+
+
+def test_stale_retry_only_for_idempotent_methods(monkeypatch):
+    """Review finding r4: a reused socket failing mid-request may have
+    already delivered the bytes — GET gets one transparent retry, POST
+    must surface the error rather than risk a double-submit."""
+    t = UrllibTransport()
+    made = []
+
+    def fake_connect(scheme, host, port, timeout):
+        c = _FakeConn()
+        made.append(c)
+        return c
+
+    monkeypatch.setattr(t, "_connect", fake_connect)
+    t.request("GET", "http://h.ex/", {}, 1.0)
+    t._local.conns[("http", "h.ex", None)].fail_next = True
+    assert t.request("GET", "http://h.ex/", {}, 1.0).status == 200
+    assert len(made) == 2  # one reconnect
+    t._local.conns[("http", "h.ex", None)].fail_next = True
+    with pytest.raises(Exception) as ei:
+        t.request("POST", "http://h.ex/", {}, 1.0)
+    assert "stale" in str(ei.value)
+    assert len(made) == 2  # NO reconnect for the non-idempotent method
+
+
+def test_proxy_env_honored(monkeypatch):
+    """Review finding r4: the http.client rewrite must keep the proxy
+    support urllib's default opener provided — absolute-URI for plain
+    http, CONNECT tunnel for https, no_proxy bypass respected."""
+    import urllib.request
+
+    t = UrllibTransport()
+    t._proxies = {"http": "http://p.ex:3128", "https": "http://p.ex:3128"}
+    monkeypatch.setattr(urllib.request, "proxy_bypass", lambda h: h == "skip.ex")
+    assert t._proxy_for("http", "a.ex") == ("p.ex", 3128)
+    assert t._proxy_for("http", "skip.ex") is None
+    c = t._connect("http", "a.ex", None, 1.0)
+    assert (c.host, c.port) == ("p.ex", 3128) and c._via_http_proxy
+    cs = t._connect("https", "a.ex", 443, 1.0)
+    assert (cs.host, cs.port) == ("p.ex", 3128)
+    assert (cs._tunnel_host, cs._tunnel_port) == ("a.ex", 443)
+    t._proxies = {}
+    cd = t._connect("http", "a.ex", None, 1.0)
+    assert cd.host == "a.ex" and not getattr(cd, "_via_http_proxy", False)
+
+
 # --- layer 2b: keep-alive connection reuse against a live server -------
 
 
