@@ -325,7 +325,8 @@ SELECT taskid, url, updatetime, rn FROM numbered WHERE rn > 20 AND rn <= 40
 # dedup: exact (hash-groupBy) over augmented docs
 COMMON_SQL["dedup_exact"] = f"""
 WITH {DOCS_AUG_CTE},
-h AS (SELECT doc_id, md5(text) AS text_hash FROM docs_aug)
+h AS (SELECT doc_id, md5(text) AS text_hash FROM docs_aug
+      WHERE text IS NOT NULL)
 SELECT text_hash, min(doc_id) AS keeper, count(*) AS n_copies
 FROM h GROUP BY text_hash HAVING count(*) > 1
 """

@@ -135,6 +135,8 @@ def train_ivf(
         .limit(n_centroids)
         .collect()
     )
+    if not init:
+        raise ValueError("train_ivf: embeddings input is empty")
     cents = _normalize(np.stack([r["embedding"] for r in init]).astype(np.float64))
     data = emb.select("vec_id", "embedding")
     for _ in range(n_iters):
@@ -146,14 +148,19 @@ def train_ivf(
                 if len(pdf) == 0:
                     continue
                 ids, mat = _stack(pdf)
-                a = np.argmax(_normalize(mat) @ c.T, axis=1)
+                nm = _normalize(mat)
+                a = np.argmax(nm @ c.T, axis=1)
                 uniq = np.unique(a)
+                # accumulate the NORMALIZED vectors: spherical k-means
+                # updates centroids from unit directions — summing raw
+                # vectors weights by magnitude and lets one huge-norm
+                # outlier drag a centroid off its cluster (review r4)
                 yield pd.DataFrame(
                     {
                         "cent_id": uniq.astype(np.int32),
                         "bkey": int(ids.min()),
                         "cnt": [int((a == u).sum()) for u in uniq],
-                        "vsum": [mat[a == u].sum(axis=0).tolist() for u in uniq],
+                        "vsum": [nm[a == u].sum(axis=0).tolist() for u in uniq],
                     }
                 )
 
@@ -223,6 +230,12 @@ def ann_topk(
     otherwise exact brute force.
     """
     qrows = queries.select("query_id", "embedding").collect()
+    if not qrows:  # np.stack([]) would raise an opaque ValueError
+        from pyspider_spark.engine import schema as S
+
+        return S.empty_df(
+            spark, "query_id bigint, vec_id bigint, cosine double, rnk int"
+        )
     qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
     qmat = _normalize(np.stack([r["embedding"] for r in qrows]).astype(np.float64))
 

@@ -293,6 +293,19 @@ def min_label_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # max_iter exhausted with labels still moving: a component of
+        # diameter > max_iter would silently keep two canonical ids
+        # (under-dedup) — surface it instead of returning quietly
+        import warnings
+
+        warnings.warn(
+            f"min_label_components: not converged after {max_iter} "
+            "iterations (component diameter exceeds max_iter); labels "
+            "may split one true component",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     clustered = labels.select("doc_id", F.col("lbl").alias("dup_of"))
     return (
         nodes.select("doc_id")
@@ -312,9 +325,13 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     partial+final HashAggregate), no shuffle beyond the 16-byte-key
     exchange; at 10^10 docs this is the cheap pass that runs BEFORE
     MinHash/SimHash so boilerplate clusters never reach banding
-    (:func:`candidate_pairs`' hot-band guard assumes it)."""
+    (:func:`candidate_pairs`' hot-band guard assumes it). NULL texts
+    (failed fetches) are excluded — md5(NULL) is NULL and a groupBy
+    would collapse all of them into one fake "duplicate" cluster whose
+    non-keepers a downstream drop pass would wrongly delete."""
     return (
-        docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        docs.filter(F.col(text_col).isNotNull())
+        .groupBy(F.md5(F.col(text_col)).alias("text_hash"))
         .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_copies"))
         .filter(F.col("n_copies") > 1)
     )

@@ -49,7 +49,15 @@ _STATS_FIELDS = "token_count int, lang string, quality double, simhash long"
 def with_text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Append (token_count, lang, quality, simhash) computed by the
     engine's ``analyze_text`` kernel — one Arrow batch pass, all input
-    columns carried through."""
+    columns carried through. Input columns that already carry these
+    names (e.g. crawl results re-exported with the engine's own
+    analyze fields) are dropped first — appending a second ``simhash``
+    would yield a duplicate-name schema that breaks every downstream
+    ``F.col`` (review r4)."""
+    stat_names = {"token_count", "lang", "quality", "simhash"}
+    clash = [c for c in docs.columns if c in stat_names]
+    if clash:
+        docs = docs.drop(*clash)
     schema = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in docs.schema.fields
     )
@@ -98,6 +106,13 @@ def export_corpus(
     if dedup:
         from pyspider_spark.ops.dedup import simhash_keep_table
 
+        # the dedup branch fans `out` into ~6 consumers in one action
+        # (both sides of the band self-join, the component nodes, the
+        # final canon join) — without a materialization point each one
+        # re-runs the Python analyze pass over all text (review r4).
+        # Cache lifetime is the caller's action; job-level writers
+        # (jobs/corpus_export.py) persist the final frame anyway.
+        out = out.persist()
         fps = out.select(F.col(key_col).alias("doc_id"), "simhash")
         keep = simhash_keep_table(fps, bits=64, max_hamming=max_hamming)
         canon = keep.filter(F.col("doc_id") == F.col("dup_of")).select(

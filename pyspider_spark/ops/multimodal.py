@@ -78,6 +78,14 @@ def sample_frames(
     ]
 
 
+def _drop_null_rows(pdf: pd.DataFrame, payload_col: str) -> pd.DataFrame:
+    """Skip rows with a NULL payload or doc_id (failed media fetches):
+    ``bytes(None)`` raises TypeError and a NaN doc_id breaks the int64
+    cast — one bad row must not kill the whole task (review r4)."""
+    keep = pdf[payload_col].notna() & pdf["doc_id"].notna()
+    return pdf[keep] if not keep.all() else pdf
+
+
 def extract_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """mapInPandas feature extraction over a binary column.
 
@@ -87,6 +95,9 @@ def extract_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            pdf = _drop_null_rows(pdf, payload_col)
+            if len(pdf) == 0:
+                continue
             dims = [decode_image(bytes(p), m) for p, m in zip(pdf[payload_col], pdf["mime"])]
             yield pd.DataFrame(
                 {
@@ -112,6 +123,9 @@ def resize_batch(
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            pdf = _drop_null_rows(pdf, payload_col)
+            if len(pdf) == 0:
+                continue
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
@@ -139,6 +153,7 @@ def sample_frames_batch(
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            pdf = _drop_null_rows(pdf, payload_col)
             ids, idxs, frames = [], [], []
             for did, p in zip(pdf["doc_id"], pdf[payload_col]):
                 for i, fr in enumerate(sample_frames(bytes(p), "", every_n)):

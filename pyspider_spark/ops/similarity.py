@@ -94,17 +94,30 @@ def near_dup_pairs(
     Grid decomposition: block(v) = vec_id % B; each unordered block
     pair (bi ≤ bj) is one applyInPandas group holding ≤ 2·N/B vectors.
     One shuffle replicates each row to its B partner groups; no
-    collect, no broadcast of the full table. B defaults to ~2·cores so
-    every core gets grid cells while per-cell matrices stay small.
+    collect, no broadcast of the full table. B is derived from the
+    row count so per-cell matrices stay bounded at
+    ~``_GRID_CELL_ROWS`` vectors regardless of N (a fixed B would
+    grow cells O(N) — executor-OOM at the 10^8-vector scale this op
+    targets); the count() action only runs when the caller leaves
+    ``n_blocks`` unset (review finding r4).
     """
-    n_rows = emb.count()  # dim-table-scale action; drives path choice + B
-    if n_rows <= BROADCAST_MAX_ROWS and (n_blocks is None):
+    if n_blocks is not None:
+        return _near_dup_grid(spark, emb, threshold, n_blocks)
+    n_rows = emb.count()  # one columnar count; drives path choice + B
+    if n_rows <= BROADCAST_MAX_ROWS:
         return _near_dup_broadcast(spark, emb, threshold)
-    return _near_dup_grid(spark, emb, threshold, n_blocks or 16, n_rows)
+    B = max(16, min(4096, -(-2 * n_rows // _GRID_CELL_ROWS)))
+    return _near_dup_grid(spark, emb, threshold, B)
+
+
+# per-cell row bound for the exact all-pairs grid: 200k × d=64 float64
+# ≈ 100 MB of matrix per task before the cosine block — comfortable in
+# a 10 GB executor even with the pairwise output
+_GRID_CELL_ROWS = 200_000
 
 
 def _near_dup_grid(
-    spark: SparkSession, emb: DataFrame, threshold: float, B: int, n_rows: int
+    spark: SparkSession, emb: DataFrame, threshold: float, B: int
 ) -> DataFrame:
     cells = spark.createDataFrame(
         [(i, j) for i in range(B) for j in range(i, B)], "bi int, bj int"
@@ -212,7 +225,14 @@ def cosine_topk(
             a = _normalize(np.stack(pdf["embedding"].to_numpy()).astype(np.float64))
             cos = np.round(a @ q, 6)
             out = pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy(), "cosine": cos})
-            yield out.nlargest(min(k, len(out)), "cosine")
+            # per-batch prune must use the SAME total order as the
+            # final merge — nlargest on cosine alone breaks boundary
+            # ties by POSITION, dropping the lower-vec_id row the
+            # (cosine DESC, vec_id ASC) order requires (review r4;
+            # ann_topk already handles this case)
+            yield out.sort_values(
+                ["cosine", "vec_id"], ascending=[False, True], kind="stable"
+            ).head(min(k, len(out)))
 
     scored = emb.select("vec_id", "embedding").mapInPandas(
         fn, "vec_id bigint, cosine double"

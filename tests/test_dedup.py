@@ -236,3 +236,17 @@ def test_hot_band_guard_drops_wide_bands(spark):
     assert verified_pairs(docs, 0.5, max_band_width=3).count() == 0
     unguarded = verified_pairs(docs, 0.5).count()
     assert unguarded == 15  # C(6,2) exact-copy pairs
+
+
+def test_exact_dedup_ignores_null_text(spark):
+    """Review r4: md5(NULL) is NULL — null-text docs must not collapse
+    into one fake 'duplicate' cluster."""
+    from pyspider_spark.ops.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "same body"), (2, "same body"), (3, None), (4, None), (5, "unique")],
+        "doc_id long, text string",
+    )
+    rows = exact_dedup(df).collect()
+    assert len(rows) == 1
+    assert (rows[0]["keeper"], rows[0]["n_copies"]) == (1, 2)

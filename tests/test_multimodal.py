@@ -9,6 +9,7 @@ from __future__ import annotations
 import hashlib
 
 import pytest
+import pyspark.sql.functions as F
 
 from pyspider_spark.ops.multimodal import (
     decode_image,
@@ -118,3 +119,76 @@ def test_near_dup_pairs_matches_bruteforce(spark):
     assert len(topk) == 5
     assert topk[0]["vec_id"] == 5  # self-similarity = 1.0 ranks first
     assert abs(topk[0]["cosine"] - 1.0) < 1e-9
+
+def test_cosine_topk_boundary_tie_keeps_smaller_vec_id(spark):
+    """Review r4: the per-batch prune must use the global (cosine DESC,
+    vec_id ASC) order — positional nlargest dropped the smaller id when
+    duplicates tied at the k boundary."""
+    import numpy as np
+
+    from pyspider_spark.ops.similarity import cosine_topk
+
+    q = np.ones(4, dtype=np.float64)
+    # one batch, higher id FIRST by position; identical embeddings
+    emb = spark.createDataFrame(
+        [(5, [1.0] * 4), (1, [1.0] * 4), (9, [-1.0] * 4)],
+        "vec_id long, embedding array<double>",
+    ).repartition(1)
+    got = cosine_topk(spark, emb, q, k=1).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in got] == [(1, 1.0)]
+
+
+def test_multimodal_null_rows_skipped(spark):
+    """Review r4: one NULL payload (failed media fetch) must not kill
+    the task — null rows are skipped, the rest decode."""
+    from pyspider_spark.ops.multimodal import (
+        extract_features,
+        resize_batch,
+        sample_frames_batch,
+    )
+
+    df = spark.createDataFrame(
+        [(1, b"good bytes", "image/fake"), (2, None, "image/fake")],
+        "doc_id long, payload binary, mime string",
+    )
+    assert [r["doc_id"] for r in extract_features(df).collect()] == [1]
+    assert [r["doc_id"] for r in resize_batch(df).collect()] == [1]
+    assert {r["doc_id"] for r in sample_frames_batch(df).collect()} == {1}
+
+
+def test_ann_topk_empty_queries(spark):
+    from pyspider_spark.ops.ann import ann_topk
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    empty_q = emb.filter("vec_id < 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ann_topk(spark, emb, empty_q, k=3)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "vec_id", "cosine", "rnk"]
+
+
+def test_train_ivf_is_magnitude_invariant(spark):
+    """Review r4: spherical k-means must accumulate unit directions —
+    scaling any row by a positive factor must not move the centroids."""
+    import numpy as np
+
+    from pyspider_spark.ops.ann import train_ivf
+
+    rows, scaled = [], []
+    for i in range(40):
+        vec = [float(((i * 13 + j * 5) % 9) - 4) or 1.0 for j in range(6)]
+        rows.append((i, vec))
+        s = 1.0 + (i % 7) * 1000.0  # wildly varying positive magnitudes
+        scaled.append((i, [x * s for x in vec]))
+    a = train_ivf(
+        spark, spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+        n_centroids=4, n_iters=3,
+    )
+    b = train_ivf(
+        spark, spark.createDataFrame(scaled, "vec_id long, embedding array<double>"),
+        n_centroids=4, n_iters=3,
+    )
+    assert np.allclose(a, b, atol=1e-12)
