@@ -75,6 +75,9 @@ NOT_MODIFIED = 304
 # per-fetch body ceiling (tornado max_buffer_size analog); overridable
 # via RoundConfig.http_max_content / UrllibTransport(max_content=...)
 DEFAULT_MAX_CONTENT = 64 << 20
+# sent when a task carries no user_agent (pyspider's fetcher always
+# sends one; UA-less requests get bot-blocked by many real hosts)
+DEFAULT_USER_AGENT = "pyspider-spark/1.0 (crawl fetcher)"
 
 
 @dataclass
@@ -163,7 +166,11 @@ class UrllibTransport:
         if not purl or urllib.request.proxy_bypass(host):
             return None
         pp = urlsplit(purl if "://" in purl else f"http://{purl}")
-        return (pp.hostname or "", pp.port or 8080)
+        # portless proxy URL defaults to its scheme's well-known port
+        # (urllib ProxyHandler semantics — there is no 8080 convention;
+        # round-4 advice: http://proxy.corp must mean port 80)
+        default_port = 443 if pp.scheme == "https" else 80
+        return (pp.hostname or "", pp.port or default_port)
 
     def _connect(self, scheme: str, host: str, port: int | None, timeout: float):
         proxy = self._proxy_for(scheme, host)
@@ -185,18 +192,25 @@ class UrllibTransport:
         parts = urlsplit(url)
         if parts.scheme not in ("http", "https"):
             raise TransportError(f"unsupported scheme: {parts.scheme or '(none)'}")
-        host = parts.hostname
+        try:
+            # .port raises a bare ValueError on malformed ports
+            # ('http://h.ex:99999/', ':8o80') — one crawled URL or a
+            # hostile redirect Location must map to the 599 row, never
+            # kill the Spark task (round-4 advice)
+            host, port = parts.hostname, parts.port
+        except ValueError as e:
+            raise TransportError(f"bad url: {e}") from e
         if not host:
             raise TransportError(f"no host in url: {url}")
         path = parts.path or "/"
         if parts.query:
             path += "?" + parts.query
         cache = self._cache()
-        key = (parts.scheme, host, parts.port)
+        key = (parts.scheme, host, port)
         conn = cache.pop(key, None)
         reused = conn is not None and conn.sock is not None
         if conn is None:
-            conn = self._connect(parts.scheme, host, parts.port, timeout)
+            conn = self._connect(parts.scheme, host, port, timeout)
         else:
             conn.timeout = timeout
             try:
@@ -204,7 +218,7 @@ class UrllibTransport:
                     conn.sock.settimeout(timeout)
             except OSError:  # cached socket already dead → plain reconnect
                 conn.close()
-                conn = self._connect(parts.scheme, host, parts.port, timeout)
+                conn = self._connect(parts.scheme, host, port, timeout)
                 reused = False
         if getattr(conn, "_via_http_proxy", False):
             path = url  # plain-http proxies take the absolute URI
@@ -223,7 +237,7 @@ class UrllibTransport:
                     # stale keep-alive socket — one fresh-connection
                     # retry; non-idempotent methods must not risk the
                     # server having already processed the first send
-                    conn = self._connect(parts.scheme, host, parts.port, timeout)
+                    conn = self._connect(parts.scheme, host, port, timeout)
                     reused = False
                     continue
                 raise TransportError(str(e)) from e
@@ -350,8 +364,14 @@ def fetch_one(
     try:
         while True:
             cur_host = urlsplit(cur).hostname or ""
-            h = {"Accept-Encoding": "gzip"}
-            h.update(headers or {})
+            # default UA (the reference fetcher always sends one; many
+            # hosts 400/403 UA-less requests — round-4 advice). The
+            # headers param overrides it, incl. case-variant spellings.
+            h = {"Accept-Encoding": "gzip", "User-Agent": DEFAULT_USER_AGENT}
+            if headers:
+                if any(k.lower() == "user-agent" for k in headers):
+                    del h["User-Agent"]
+                h.update(headers)
             send = jar.get(cur_host)
             if send:
                 h["Cookie"] = "; ".join(f"{k}={v}" for k, v in sorted(send.items()))

@@ -92,6 +92,7 @@ def export_corpus(
     n_shards: int = 16,
     dedup: bool = False,
     max_hamming: int = 3,
+    max_band_width: int | None = None,
 ) -> DataFrame:
     """The full export plan: stats → filter → (optional) near-dup
     removal → shard. Returns the input columns + (token_count, lang,
@@ -110,15 +111,26 @@ def export_corpus(
         # (both sides of the band self-join, the component nodes, the
         # final canon join) — without a materialization point each one
         # re-runs the Python analyze pass over all text (review r4).
-        # Cache lifetime is the caller's action; job-level writers
-        # (jobs/corpus_export.py) persist the final frame anyway.
+        # The branch is already eager (the component loop runs count
+        # actions), so materialize the final frame (localCheckpoint)
+        # and unpersist before returning — a long-lived session must
+        # not accumulate cached partitions per call (round-4 advice;
+        # same leak class the contract schedule gates fixed).
         out = out.persist()
-        fps = out.select(F.col(key_col).alias("doc_id"), "simhash")
-        keep = simhash_keep_table(fps, bits=64, max_hamming=max_hamming)
-        canon = keep.filter(F.col("doc_id") == F.col("dup_of")).select(
-            F.col("doc_id").alias(key_col)
-        )
-        out = out.join(canon, key_col, "inner")
+        try:
+            fps = out.select(F.col(key_col).alias("doc_id"), "simhash")
+            keep = simhash_keep_table(
+                fps, bits=64, max_hamming=max_hamming,
+                max_band_width=max_band_width,
+            )
+            canon = keep.filter(F.col("doc_id") == F.col("dup_of")).select(
+                F.col("doc_id").alias(key_col)
+            )
+            return with_shard(
+                out.join(canon, key_col, "inner"), key_col, n_shards
+            ).localCheckpoint()
+        finally:
+            out.unpersist()
     return with_shard(out, key_col, n_shards)
 
 

@@ -238,6 +238,78 @@ def test_hot_band_guard_drops_wide_bands(spark):
     assert unguarded == 15  # C(6,2) exact-copy pairs
 
 
+def test_simhash_keep_table_identical_cluster_is_linear(spark):
+    """Round-4 verdict "wrong" #1: 10 000 identical fingerprints
+    (exact text copies — mirrored boilerplate) must NOT reach the band
+    self-join as 10 000 rows. The fp-collapse sends ONE representative
+    per distinct fingerprint; uncollapsed, the join would emit
+    4 bands × C(10k,2) ≈ 2·10⁸ candidate rows and this test would not
+    finish. Output semantics are pinned unchanged: everyone collapses
+    to the component's min doc_id, including hamming-neighbors of the
+    cluster."""
+    from pyspider_spark.ops.dedup import simhash_keep_table, simhash_near_dup
+
+    n = 10_000
+    rows = [(i, 0x0DDBA11) for i in range(1, n + 1)]
+    rows += [(n + 1, 0x0DDBA11 ^ 0b11), (n + 2, 0x5A5A5A5A)]
+    df = spark.createDataFrame(rows, "doc_id long, simhash long")
+    out = {
+        r["doc_id"]: r["dup_of"]
+        for r in simhash_keep_table(df, bits=32).collect()
+    }
+    assert len(out) == n + 2
+    assert all(out[i] == 1 for i in range(1, n + 1))
+    assert out[n + 1] == 1  # hamming-2 neighbor joins via its representative
+    assert out[n + 2] == n + 2
+    # candidate volume over the collapsed reps is O(distinct fps): the
+    # same derivation keep_table uses yields exactly one near-dup edge
+    reps = df.groupBy("simhash").agg(F.min("doc_id").alias("doc_id"))
+    assert simhash_near_dup(reps, bits=32).count() == 1
+
+
+def test_simhash_keep_table_null_fp_singletons(spark):
+    """NULL fingerprints (never-analyzed docs) carry no similarity
+    evidence: they must stay singletons, not collapse into one fake
+    cluster through the fp-groupBy."""
+    from pyspider_spark.ops.dedup import simhash_keep_table
+
+    df = spark.createDataFrame(
+        [(1, 7), (2, 7), (3, None), (4, None)], "doc_id long, simhash long"
+    )
+    out = {r["doc_id"]: r["dup_of"] for r in simhash_keep_table(df, bits=32).collect()}
+    assert out == {1: 1, 2: 1, 3: 3, 4: 4}
+
+
+def test_simhash_max_band_width_guard(spark):
+    """The band-join guard (mirrors candidate_pairs'): a band value
+    wider than the bound is dropped; narrow bands still pair."""
+    from pyspider_spark.ops.dedup import simhash_near_dup
+
+    # 50 DISTINCT fps agreeing on all four bands' worth of low bits
+    # except their top band — near-identical mega-cluster: every band
+    # except the last is width-50-hot
+    fps = [(i, i << 24) for i in range(50)]  # bands 0..2 identical (=0)
+    df = spark.createDataFrame(fps, "doc_id long, simhash long")
+    guarded = simhash_near_dup(df, bits=32, max_hamming=3, max_band_width=10)
+    unguarded = simhash_near_dup(df, bits=32, max_hamming=3)
+    # unguarded finds every hamming<=3 pair among the top-band values;
+    # the guard drops the three hot bands, keeping only pairs that
+    # agree on the (narrow) top band — i.e. none of these
+    assert unguarded.count() > 0
+    assert guarded.count() == 0
+    # a pair agreeing on a narrow band survives the guard
+    df2 = spark.createDataFrame(
+        fps + [(100, (7 << 24) | 1)], "doc_id long, simhash long"
+    )  # doc 100 shares doc 7's top band, differs in one low bit
+    g2 = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_near_dup(
+            df2, bits=32, max_hamming=3, max_band_width=10
+        ).collect()
+    }
+    assert (7, 100, 1) in g2
+
+
 def test_exact_dedup_ignores_null_text(spark):
     """Review r4: md5(NULL) is NULL — null-text docs must not collapse
     into one fake 'duplicate' cluster."""

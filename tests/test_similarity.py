@@ -1,0 +1,89 @@
+"""ops/similarity — exact/approximate embedding near-dup kernels.
+
+Round-5 focus: the LSH path's hot-bucket bound (round-4 verdict
+"wrong" #2). RHP buckets are data-skewed by construction; a whole
+bucket must never be one applyInPandas group. The per-bucket grid
+decomposition is pinned here for both the bound (no cell ever holds
+more than ~2·cell_rows rows) and exactness (output identical to the
+unsplit within-bucket all-pairs the gate `sim_lsh_near_dup` proves
+against its DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from pyspider_spark.ops.similarity import (
+    _lsh_grid_cells,
+    lsh_near_dup,
+    with_rhp_buckets,
+)
+
+DIM = 8
+
+
+def _emb(spark, n=120, seed=3):
+    rng = np.random.default_rng(seed)
+    rows = [(i, rng.standard_normal(DIM).tolist()) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_lsh_grid_split_is_output_identical(spark):
+    """cell_rows small enough to force splitting vs effectively-infinite
+    (one cell per bucket = the pre-split behavior the gate proves):
+    identical pair sets, identical cosines."""
+    emb = _emb(spark)
+    unsplit = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in lsh_near_dup(spark, emb, 0.2, cell_rows=10**9).collect()
+    }
+    split = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in lsh_near_dup(spark, emb, 0.2, cell_rows=7).collect()
+    }
+    assert split == unsplit and len(unsplit) > 0
+    # the split actually engaged on this fixture (a bucket exceeds 7)
+    b = with_rhp_buckets(emb.select("vec_id", "embedding"), 4, DIM)
+    assert max(r["count"] for r in b.groupBy("bucket").count().collect()) > 7
+
+
+def test_lsh_skewed_bucket_cells_bounded(spark):
+    """Adversarial skew: every vector lands in ONE bucket (identical
+    direction + tiny jitter). The grid must bound every cell at
+    ~2·cell_rows rows, and the scored output must still be the exact
+    within-bucket all-pairs set."""
+    n, cell = 100, 10
+    rng = np.random.default_rng(5)
+    base = np.abs(rng.standard_normal(DIM)) + 1.0
+    rows = [
+        (i, (base + 0.001 * rng.standard_normal(DIM)).tolist()) for i in range(n)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    bucketed = with_rhp_buckets(emb.select("vec_id", "embedding"), 4, DIM)
+    assert bucketed.select("bucket").distinct().count() == 1  # skew planted
+    per_cell = [
+        r["n"]
+        for r in _lsh_grid_cells(bucketed, cell)
+        .groupBy("bucket", "bi", "bj")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    ]
+    assert max(per_cell) <= 2 * cell
+    assert len(per_cell) > 1  # the hot bucket was actually decomposed
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in lsh_near_dup(spark, emb, 0.9, cell_rows=cell).collect()
+    }
+    # near-identical vectors: every unordered pair clears cosine 0.9
+    assert got == {(a, b) for a in range(n) for b in range(a + 1, n)}
+
+
+def test_lsh_singleton_buckets_single_cell(spark):
+    """Buckets under the cell bound pay nothing: nb == 1, one cell,
+    no replication."""
+    emb = _emb(spark, n=40)
+    bucketed = with_rhp_buckets(emb.select("vec_id", "embedding"), 4, DIM)
+    cells = _lsh_grid_cells(bucketed, 10**9)
+    assert cells.count() == 40  # no row replicated
+    assert cells.filter((F.col("bi") != 0) | (F.col("bj") != 0)).count() == 0
