@@ -27,6 +27,7 @@ DEFAULT_RETRIES = 3
 # --- fetch status codes used by the simulated fetcher -------------------
 FETCH_OK = 200
 FETCH_NOT_FOUND = 404
+FETCH_NOT_MODIFIED = 304  # conditional refetch hit: content unchanged
 FETCH_TIMEOUT = 599  # tornado_fetcher uses 599 for connection/timeout errors
 FETCH_ROBOTS_BLOCKED = 403
 

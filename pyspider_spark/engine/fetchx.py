@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 
 from pyspider_spark.config import (
     FETCH_NOT_FOUND,
+    FETCH_NOT_MODIFIED,
     FETCH_OK,
     FETCH_TIMEOUT,
     RoundConfig,
@@ -306,7 +307,17 @@ def extract_outputs(
     from pyspider_spark.handlers import catch_error_callbacks
 
     catch = catch_error_callbacks()
-    dispatchable = (F.col("code") == FETCH_OK) | F.col("callback").isin(catch)
+    # 304 Not Modified (conditional refetch hit — the schedule carried
+    # the previous crawl's etag/last_modified): the content is by
+    # definition unchanged, so the row settles SUCCESS *without*
+    # re-dispatching the handler — the stored result stands, no new
+    # follows (the crawl-scale bandwidth saver; the reference's
+    # Response.ok treats 304 as ok). Only the HTTP stage produces 304s;
+    # the simulated join never does, so join-path plans are unchanged.
+    not_modified = F.col("code") == FETCH_NOT_MODIFIED
+    dispatchable = (F.col("code") == FETCH_OK) | (
+        F.col("callback").isin(catch) & ~not_modified
+    )
     udf = dispatch_analyze_udf if cfg.analyze else dispatch_udf
     ext = F.when(
         dispatchable,
@@ -314,8 +325,11 @@ def extract_outputs(
     ).otherwise(F.lit(None))
     f = f.withColumn("_ext", ext)
     # final ok = dispatched AND the handler didn't raise — the
-    # reference derives task ok from the callback outcome
-    proc_ok = (dispatchable & F.col("_ext.error").isNull()).alias("proc_ok")
+    # reference derives task ok from the callback outcome; a 304 is ok
+    # by construction (content verified unchanged)
+    proc_ok = (
+        (dispatchable & F.col("_ext.error").isNull()) | not_modified
+    ).alias("proc_ok")
     out = f.select(
         *sched_columns,
         "code",

@@ -45,6 +45,17 @@ ADMIT_COLS = [
     "retries_left",
 ]
 
+# optional per-task fetch columns (conditional-refetch validators from
+# the frontier row's last crawl) that ride the schedule INTO the fetch
+# stage when the caller's candidate set carries them — the engine's
+# does; the contract gates' synthetic candidates don't, and must keep
+# working unchanged
+FETCH_CARRY_COLS = ("etag", "last_modified")
+
+
+def _admit_cols(df: DataFrame) -> list[str]:
+    return ADMIT_COLS + [c for c in FETCH_CARRY_COLS if c in df.columns]
+
 
 @F.pandas_udf(BooleanType())
 def _robots_allowed(host: pd.Series, canon_url: pd.Series, robots_txt: pd.Series) -> pd.Series:
@@ -124,7 +135,7 @@ def admit(
     st = host_state.select(
         "host", F.col("tokens").alias("_tokens"), F.col("last_ts").alias("_last_ts")
     )
-    joined = reduced.select(*ADMIT_COLS).join(st, "host", "left")
+    joined = reduced.select(*_admit_cols(reduced)).join(st, "host", "left")
 
     out_schema = StructType(
         joined.drop("_tokens", "_last_ts").schema.fields
@@ -228,11 +239,11 @@ def schedule_round(
     checked = check_robots(cands, robots, cfg, robots_rows=robots_rows).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    blocked = checked.filter(~F.col("allowed")).select(*ADMIT_COLS)
+    blocked = checked.filter(~F.col("allowed")).select(*_admit_cols(checked))
     ok = checked.filter(F.col("allowed"))
 
     bucketed = admit(ok.filter(F.col("host") != ""), host_state, cfg, now)
-    free = ok.filter(F.col("host") == "").select(*ADMIT_COLS).withColumn(
+    free = ok.filter(F.col("host") == "").select(*_admit_cols(checked)).withColumn(
         "refilled", F.lit(None).cast(DoubleType())
     )
     sched = bucketed.unionByName(free)

@@ -40,7 +40,14 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.storagelevel import StorageLevel
 
-from pyspider_spark.config import ACTIVE, BAD, FAILED, SUCCESS, RoundConfig
+from pyspider_spark.config import (
+    ACTIVE,
+    BAD,
+    FAILED,
+    FETCH_NOT_MODIFIED,
+    SUCCESS,
+    RoundConfig,
+)
 from pyspider_spark.engine import schema as S
 from pyspider_spark.engine import frontier as FR
 from pyspider_spark.engine.fetchx import fetch_and_extract, prepare_pages
@@ -904,8 +911,13 @@ class CrawlEngine:
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         # proc_ok, not raw code: @catch_status_code_error callbacks
-        # settle SUCCESS from the handler outcome (U3)
-        ok = fetched.filter(F.col("proc_ok"))
+        # settle SUCCESS from the handler outcome (U3). 304 rows
+        # (conditional-refetch hit, HTTP stage only) settle SUCCESS but
+        # are EXCLUDED here: content is unchanged, so the stored result
+        # stands and no new result/follow rows are emitted.
+        ok = fetched.filter(
+            F.col("proc_ok") & (F.col("code") != FETCH_NOT_MODIFIED)
+        )
 
         res_fields = [
             F.col("text_len"),
@@ -979,7 +991,9 @@ class CrawlEngine:
         track = F.to_json(
             F.struct(
                 F.struct(
-                    (F.col("code") == 200).alias("ok"),
+                    # 304 is an ok fetch (content verified unchanged —
+                    # the reference's Response.ok covers it)
+                    F.col("code").isin(200, FETCH_NOT_MODIFIED).alias("ok"),
                     F.col("code").alias("status_code"),
                     # wire metadata from the HTTP stage (nulls on the
                     # simulated join — to_json drops them, so join-path
@@ -1025,6 +1039,18 @@ class CrawlEngine:
             .otherwise(F.col("retries_left"))
             .alias("new_retries_left"),
             F.when(is_ok, F.lit(now)).alias("new_lastcrawltime"),
+            # conditional-refetch validators captured from 200-response
+            # headers (HTTP stage; nulls on the join path and on 304 —
+            # the frontier write coalesces nulls to the stored value,
+            # so a 304 keeps the validators that just proved fresh)
+            F.when(
+                F.col("code") == 200,
+                F.get_json_object("fetch_headers", "$.etag"),
+            ).alias("new_etag"),
+            F.when(
+                F.col("code") == 200,
+                F.get_json_object("fetch_headers", "$['last-modified']"),
+            ).alias("new_last_modified"),
             # processor exceptions are a distinct kind: they feed the
             # P6 exception-burst pause below
             F.when(is_ok, F.lit("ok"))
@@ -1040,6 +1066,8 @@ class CrawlEngine:
             F.lit(None).cast("double").alias("new_exetime"),
             F.lit(None).cast("int").alias("new_retries_left"),
             F.lit(None).cast("double").alias("new_lastcrawltime"),
+            F.lit(None).cast("string").alias("new_etag"),
+            F.lit(None).cast("string").alias("new_last_modified"),
             F.lit("blocked").alias("kind"),
         )
         settle = settle_of.unionByName(settle_bad)
@@ -1144,12 +1172,20 @@ class CrawlEngine:
                     F.col(f"o.{c}").alias(c)
                     for c in fr_cols
                     if c
-                    not in (*KEY, "status", "exetime", "retries_left", "lastcrawltime", "updatetime")
+                    not in (
+                        *KEY, "status", "exetime", "retries_left",
+                        "lastcrawltime", "updatetime", "etag", "last_modified",
+                    )
                 ],
                 F.coalesce("s.new_status", "o.status").alias("status"),
                 F.coalesce("s.new_exetime", "o.exetime").alias("exetime"),
                 F.coalesce("s.new_retries_left", "o.retries_left").alias("retries_left"),
                 F.coalesce("s.new_lastcrawltime", "o.lastcrawltime").alias("lastcrawltime"),
+                # validators: fresh from this crawl's headers, else carry
+                F.coalesce("s.new_etag", "o.etag").alias("etag"),
+                F.coalesce("s.new_last_modified", "o.last_modified").alias(
+                    "last_modified"
+                ),
                 F.lit(now).alias("updatetime"),  # settle always stamps
                 # a key inserted AND settled in the same round (every
                 # round-0 seed) is still an insert for live-row lineage

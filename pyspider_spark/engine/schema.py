@@ -39,6 +39,17 @@ FRONTIER_SCHEMA = StructType(
         StructField("lastcrawltime", DoubleType()),
         StructField("updatetime", DoubleType()),
         StructField("round_added", IntegerType()),
+        # conditional-refetch validators from the LAST successful crawl
+        # (``fetcher/tornado_fetcher.py — http_fetch()``'s etag/
+        # last_modified task fields, which default to "reuse the prior
+        # response's"): settle captures them from 200-response headers;
+        # an age/force/itag re-crawl sends If-None-Match /
+        # If-Modified-Since, and a 304 settles SUCCESS with the stored
+        # result untouched — the crawl-scale bandwidth saver. Two
+        # nullable ~20-byte strings per row; appended LAST so the
+        # positional _insert_cols/_restarted_cols zips stay aligned.
+        StructField("etag", StringType()),
+        StructField("last_modified", StringType()),
     ]
 )
 

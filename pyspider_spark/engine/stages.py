@@ -176,6 +176,8 @@ def _insert_cols(now: float, rnd: int, cfg: RoundConfig, src: str = "") -> list[
         F.lit(0.0).alias("lastcrawltime"),
         F.lit(now).alias("updatetime"),
         F.lit(rnd).alias("round_added"),
+        F.lit(None).cast("string").alias("etag"),
+        F.lit(None).cast("string").alias("last_modified"),
     ]
 
 
@@ -208,6 +210,10 @@ def _restarted_cols(now: float, cfg: RoundConfig) -> list[Column]:
         F.col("o.lastcrawltime").alias("lastcrawltime"),
         F.lit(now).alias("updatetime"),
         F.col("o.round_added").alias("round_added"),
+        # restart keeps the last crawl's validators — that is the whole
+        # point: the age-recrawl fetch sends them conditionally
+        F.col("o.etag").alias("etag"),
+        F.col("o.last_modified").alias("last_modified"),
     ]
 
 

@@ -66,6 +66,20 @@ class Handler:
     # pool instead — the routing predicate is js_callbacks(), JVM-side.
     fetch_type: str = "http"
     js_script: str | None = None  # user script run at document-ready
+    # per-task fetch section (``libs/base_handler.py — fetch_fields``,
+    # consumed by ``fetcher/tornado_fetcher.py — http_fetch()``): tasks
+    # crawled toward this callback fetch with these — the @config
+    # analog of the reference's crawl(method=, data=, headers=,
+    # user_agent=) kwargs. headers is a pairs tuple (frozen dataclass);
+    # the production fetch stage (engine/fetch_http.fetch_stage) reads
+    # them from the registry inside the worker, keyed by the row's
+    # callback column — per-CALLBACK constants never widen the
+    # politeness shuffle, only the per-TASK validators (etag/
+    # last_modified) ride the schedule as columns.
+    fetch_method: str = "GET"
+    fetch_data: str | None = None  # request body (POST forms etc.)
+    fetch_headers: tuple = ()  # ((name, value), ...) extra headers
+    user_agent: str | None = None  # overrides the transport default UA
 
 
 def _content_of(content: bytes | None, url: str) -> bytes | None:
@@ -200,6 +214,14 @@ def h_js_scripted(content: bytes | None, url: str) -> HandlerResult:
     return _js_page(content, url, REGISTRY["js_scripted"].js_script)
 
 
+def h_post_form(content: bytes | None, url: str) -> HandlerResult:
+    """Fetch-fields demo (``tests/test_fetcher.py`` POST assertions):
+    tasks toward this callback POST a form body (see the registry
+    entry's fetch_method/fetch_data) and extract the response."""
+    ext = extract_page(_content_of(content, url), url)
+    return HandlerResult(text=ext.text, links=ext.links)
+
+
 def h_strict_page(content: bytes | None, url: str) -> HandlerResult:
     """A deliberately-broken handler: always raises. Exercises the
     processor-exception path — track.process.exception capture (F11)
@@ -234,6 +256,13 @@ REGISTRY: dict[str, Handler] = {
             "js_scripted", h_js_scripted, follow_callback="detail_page",
             fetch_type="js",
             js_script="window.scrollTo(0, document.body.scrollHeight);",
+        ),
+        Handler(
+            "post_form", h_post_form, follow_callback="detail_page",
+            fetch_method="POST",
+            fetch_data="q=ping&src=crawler",
+            fetch_headers=(("Content-Type", "application/x-www-form-urlencoded"),),
+            user_agent="pyspider-spark-post/1.0",
         ),
         Handler("strict_page", h_strict_page),
     )
