@@ -156,6 +156,15 @@ class RoundConfig:
     # instead of being force-collected to the driver. Candidates side
     # skew (hot hosts) is AQE's skew-join problem, not a broadcast's.
     robots_broadcast_max_rows: int = 1_000_000
+    # S10 robots-cache expiry (``fetcher/tornado_fetcher.py —
+    # ROBOTS_TXT_EXPIRE`` analog, 1 h): at round start, robots rows
+    # whose fetched_ts is older than this (logical clock) are
+    # re-fetched over the wire through the configured transport and
+    # overlay the dim until they expire again. Live-source refresh, so
+    # it only engages on the HTTP fetch stage; join-mode engines keep
+    # the stat-guarded dim re-read as their refresh path. None = never
+    # expire.
+    robots_expiry: float | None = 3600.0
     # P6 — pause a project after this many processor exceptions in one
     # round (``scheduler/scheduler.py — EXCEPTION_LIMIT``); unpaused
     # when the projects dim changes (the reference re-enables on

@@ -146,9 +146,25 @@ class UrllibTransport:
     otherwise have dropped): http proxies get absolute-URI requests,
     https goes through CONNECT tunnels."""
 
-    def __init__(self, max_content: int = DEFAULT_MAX_CONTENT):
+    def __init__(
+        self,
+        max_content: int = DEFAULT_MAX_CONTENT,
+        ssl_context=None,
+        validate_cert: bool = True,
+    ):
+        """``ssl_context`` (an ``ssl.SSLContext``) is injected into
+        every HTTPSConnection — custom CA bundles, client certs, pinned
+        protocols. ``validate_cert=False`` is the reference task
+        field's analog (``tornado_fetcher.py — http_fetch()``'s
+        validate_cert): an unverified context, for crawls that accept
+        self-signed hosts. Default = stdlib default verification."""
         self.max_content = max_content
         self._local = threading.local()
+        if ssl_context is None and not validate_cert:
+            import ssl
+
+            ssl_context = ssl._create_unverified_context()
+        self.ssl_context = ssl_context
         import urllib.request
 
         self._proxies = urllib.request.getproxies()
@@ -176,10 +192,14 @@ class UrllibTransport:
         proxy = self._proxy_for(scheme, host)
         if scheme == "https":
             if proxy:
-                conn = http.client.HTTPSConnection(*proxy, timeout=timeout)
+                conn = http.client.HTTPSConnection(
+                    *proxy, timeout=timeout, context=self.ssl_context
+                )
                 conn.set_tunnel(host, port)
                 return conn
-            return http.client.HTTPSConnection(host, port, timeout=timeout)
+            return http.client.HTTPSConnection(
+                host, port, timeout=timeout, context=self.ssl_context
+            )
         if proxy:
             conn = http.client.HTTPConnection(*proxy, timeout=timeout)
             conn._via_http_proxy = True  # absolute-URI request form

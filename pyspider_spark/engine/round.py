@@ -233,6 +233,7 @@ class CrawlEngine:
         self._load_projects()
         self.robots_path = robots_path
         self._robots_stat: tuple | None = None
+        self._robots_overlay = None  # expiry-refetched rows (S10 TTL)
         self._load_robots()
 
     def _pages_stamp(self, pages_path: str) -> str:
@@ -275,6 +276,100 @@ class CrawlEngine:
             self.robots_rows: int | None = _parquet_rows(self.robots_path)
         except OSError:
             self.robots_rows = None
+
+    def _refresh_robots(self, now: float) -> None:
+        """S10 robots EXPIRY (round-4 verdict next-list #7): the
+        reference re-fetches a host's robots.txt after a 1 h cache TTL
+        (``tornado_fetcher.py — can_fetch()/robots_txt_cache``). Batch
+        analog: rows of the robots dim whose ``fetched_ts`` is older
+        than ``cfg.robots_expiry`` on the LOGICAL clock are re-fetched
+        over the wire (``http://<host>/robots.txt`` through the
+        configured transport, executor-side mapInPandas — the stale set
+        is expiry-spread, not the whole dim) and overlay the dim until
+        they expire again. A non-200/failed fetch yields empty rules =
+        allow-all, the reference's error behavior. Only meaningful with
+        a live source, so it engages on ``fetch_stage == "http"`` only;
+        join-mode engines refresh via the stat-guarded dim re-read
+        (``_load_robots``). The overlay is session-held: on resume it
+        rebuilds by refetch, exactly like the reference's restart.
+
+        Cost: one tiny stale-count agg job per round in http mode; the
+        refetch job only runs on rounds where something actually
+        expired. A dim without ``fetched_ts`` defaults rows to ``t0``
+        (everything expires together once, then spreads)."""
+        cfg = self.cfg
+        if (
+            cfg.robots_expiry is None
+            or cfg.fetch_stage != "http"
+            or not cfg.respect_robots
+            or self.robots_rows == 0
+        ):
+            return
+        eff = self.robots
+        if "fetched_ts" not in eff.columns:
+            eff = eff.withColumn("fetched_ts", F.lit(cfg.t0))
+        else:
+            # dims may carry fetched_ts as a TIMESTAMP (the fixture
+            # does) or epoch double; cast unifies (timestamp→double is
+            # epoch seconds), NULL ⇒ t0
+            eff = eff.withColumn(
+                "fetched_ts",
+                F.coalesce(F.col("fetched_ts").cast("double"), F.lit(cfg.t0)),
+            )
+        # optional robots_url column = the host's robots.txt origin
+        # (non-default ports, https hosts); absent ⇒ http://host/
+        if "robots_url" not in eff.columns:
+            eff = eff.withColumn("robots_url", F.lit(None).cast("string"))
+        eff = eff.select("host", "robots_txt", "fetched_ts", "robots_url")
+        ov = self._robots_overlay
+        if ov is not None:
+            eff = eff.join(ov.select("host"), "host", "left_anti").unionByName(ov)
+        stale = eff.filter(F.lit(now) - F.col("fetched_ts") >= cfg.robots_expiry)
+        if stale.limit(1).count() == 0:
+            return
+        spec, arg = cfg.http_transport, cfg.http_transport_arg
+        timeout, max_r = cfg.http_timeout, cfg.max_redirects
+
+        def fn(it):
+            from pyspider_spark.engine.fetch_http import fetch_one, make_transport
+
+            transport = make_transport(spec, arg)
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                texts = []
+                for h, ru in zip(pdf["host"], pdf["robots_url"]):
+                    url = ru if isinstance(ru, str) and ru else f"http://{h}/robots.txt"
+                    r = fetch_one(
+                        transport, url,
+                        timeout=timeout, max_redirects=max_r,
+                        max_content=1 << 20,
+                    )
+                    if r["code"] == 200 and r["content"] is not None:
+                        texts.append(
+                            r["content"].decode("utf-8", errors="replace")
+                        )
+                    else:
+                        texts.append("")  # miss/error ⇒ allow-all
+                out = pdf[["host", "robots_url"]].copy()
+                out["robots_txt"] = texts
+                out["fetched_ts"] = float(now)
+                yield out
+
+        fresh = stale.select("host", "robots_url").mapInPandas(
+            fn, "host string, robots_url string, robots_txt string, fetched_ts double"
+        ).select("host", "robots_txt", "fetched_ts", "robots_url").localCheckpoint()
+        ov = (
+            fresh
+            if ov is None
+            else ov.join(fresh.select("host"), "host", "left_anti")
+            .unionByName(fresh)
+            .localCheckpoint()
+        )
+        self._robots_overlay = ov
+        self.robots = (
+            eff.join(fresh.select("host"), "host", "left_anti").unionByName(fresh)
+        ).localCheckpoint()
 
     def _load_projects(self) -> bool:
         """(Re)read the projects dim — hot-reload analog of
@@ -561,7 +656,8 @@ class CrawlEngine:
                 "engine.migrate.migrate_partitions to re-bucket"
             )
         changed = self._load_projects()  # S4 hot-reload (stat-guarded)
-        self._load_robots()  # S10 robots-cache expiry analog
+        self._load_robots()  # S10 dim re-read (stat-guarded)
+        self._refresh_robots(now)  # S10 TTL refetch (http stage only)
         # P6: exception-burst pauses; a project update re-enables
         paused: set[str] = set() if changed else set(state.get("paused", []))
 

@@ -822,3 +822,100 @@ def test_engine_round_http_stage_equals_join_stage(spark, smoke_fixtures, tmp_pa
             assert redirected[0]["fetch"]["redirect_url"] == "http://mirror.example/landed"
             assert any(t["fetch"].get("headers") for t in tracks)
     assert metrics["http"] == metrics["join"]
+
+
+# --- layer 2c: HTTPS with a self-signed cert (round-4 next-list #8) ----
+
+
+@pytest.fixture(scope="module")
+def https_server(tmp_path_factory):
+    """TLS server on a self-signed cert, counting socket accepts:
+    keep-alive and redirect coverage over https, plus the
+    verification-failure → 599 path."""
+    import http.server
+    import ssl
+    import subprocess
+
+    d = tmp_path_factory.mktemp("tls")
+    cert, key = str(d / "cert.pem"), str(d / "key.pem")
+    subprocess.run(
+        [
+            "openssl", "req", "-x509", "-newkey", "rsa:2048",
+            "-keyout", key, "-out", cert, "-days", "2", "-nodes",
+            "-subj", "/CN=127.0.0.1",
+            "-addext", "subjectAltName=IP:127.0.0.1",
+        ],
+        check=True, capture_output=True,
+    )
+
+    class SH(http.server.BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            if self.path == "/redir":
+                self.send_response(302)
+                self.send_header("Location", "/landed")
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            body = b"<body>secure " + self.path.encode() + b"</body>"
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    class CountingTLSServer(http.server.ThreadingHTTPServer):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            self.accepts = 0
+
+        def get_request(self):
+            req = super().get_request()
+            self.accepts += 1
+            return req
+
+    srv = CountingTLSServer(("127.0.0.1", 0), SH)
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    ctx.load_cert_chain(cert, key)
+    srv.socket = ctx.wrap_socket(srv.socket, server_side=True)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield srv, f"https://127.0.0.1:{srv.server_address[1]}", cert
+    srv.shutdown()
+
+
+def test_https_verification_failure_is_599(https_server):
+    """Default (verifying) transport vs a self-signed host: the
+    certificate error must map to the 599 row, never kill the task."""
+    _, base, _ = https_server
+    r = fetch_one(UrllibTransport(), f"{base}/page")
+    assert r["code"] == 599 and "CERTIFICATE" in r["error"].upper()
+
+
+def test_https_injected_ca_context_keepalive(https_server):
+    """An injected SSLContext trusting the test CA fetches over real
+    TLS, and same-host requests reuse ONE TLS connection (keep-alive
+    asserted over https, not just http)."""
+    import ssl
+
+    srv, base, cert = https_server
+    ctx = ssl.create_default_context(cafile=cert)
+    t = UrllibTransport(ssl_context=ctx)
+    before = srv.accepts
+    for i in range(4):
+        r = fetch_one(t, f"{base}/p{i}")
+        assert r["code"] == 200 and f"/p{i}".encode() in r["content"]
+    assert srv.accepts - before == 1  # one TLS handshake for the chain
+
+
+def test_https_validate_cert_false(https_server):
+    """The reference's validate_cert=False task field: unverified
+    context accepts the self-signed host; redirects work over TLS."""
+    _, base, _ = https_server
+    t = UrllibTransport(validate_cert=False)
+    r = fetch_one(t, f"{base}/redir")
+    assert r["code"] == 200
+    assert r["redirect_url"] == f"{base}/landed"
+    assert b"secure /landed" in r["content"]

@@ -85,3 +85,113 @@ def test_robots_change_applies_next_round(spark, tmp_path):
     )
     m1 = eng.run_rounds(1, inject_at={1: recrawl})[0]
     assert m1["robots_blocked"] == 1 and m1["ok"] == 1
+
+
+def test_robots_ttl_expiry_refetches_live(spark, tmp_path):
+    """S10 TTL (round-4 verdict next-list #7): a robots change on the
+    LIVE server is invisible while the cached row is fresh and takes
+    effect on the first round after ``robots_expiry`` elapses on the
+    logical clock — the engine refetches exactly once, over a real
+    socket, through the configured transport."""
+    import http.server
+    import threading
+
+    from pyspider_spark.config import BAD
+
+    state = {"robots": "User-agent: *\nAllow: /"}
+    robots_gets: list[int] = []
+
+    class RH(http.server.BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            if self.path == "/robots.txt":
+                robots_gets.append(1)
+                body = state["robots"].encode()
+            elif self.path == "/p/0":
+                body = b"<html><body><p>ttl page</p></body></html>"
+            else:
+                self.send_response(404)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), RH)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+
+    cfg = RoundConfig(
+        n_partitions=2,
+        respect_robots=True,
+        robots_expiry=2.5,  # logical seconds; dt=1 → stale at round 3
+        fetch_stage="http",
+        http_transport="pyspider_spark.engine.fetch_http:urllib_transport",
+        http_pool=2,
+        http_timeout=10.0,
+    )
+    pages = pa.table(
+        {
+            "url": pa.array([f"{base}/p/0"]),
+            "warc_ts": pa.array(
+                [dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)],
+                pa.timestamp("us", tz="UTC"),
+            ),
+            "html": pa.array([b"<html></html>"], pa.binary()),
+            "text": pa.array([""]),
+            "lang": pa.array(["en"]),
+        }
+    )
+    projects = pa.table(
+        {
+            "project": pa.array(["test_project"]),
+            "status": pa.array(["RUNNING"]),
+            "rate": pa.array([10.0]),
+            "burst": pa.array([10.0]),
+            "min_tick": pa.array([0.0]),
+            "script_ref": pa.array(["default_extractor"]),
+        }
+    )
+    # the dim row is FRESH at t0 and carries its true origin (the
+    # server's random port) via the optional robots_url column
+    robots = pa.table(
+        {
+            "host": pa.array(["127.0.0.1"]),
+            "robots_txt": pa.array(["User-agent: *\nAllow: /"]),
+            "fetched_ts": pa.array([cfg.t0], pa.float64()),
+            "robots_url": pa.array([f"{base}/robots.txt"]),
+        }
+    )
+    for name, tbl in (("pages", pages), ("projects", projects), ("robots", robots)):
+        pq.write_table(tbl, str(tmp_path / f"{name}.parquet"))
+
+    eng = CrawlEngine(
+        spark,
+        str(tmp_path / "state_ttl"),
+        cfg,
+        pages_path=str(tmp_path / "pages.parquet"),
+        projects_path=str(tmp_path / "projects.parquet"),
+        robots_path=str(tmp_path / "robots.parquet"),
+    )
+    seeds = spark.createDataFrame(
+        [(f"{base}/p/0", "test_project", True, 0.0)],
+        "url string, project string, auto_recrawl boolean, age double",
+    )
+    ms = eng.run_rounds(2, seeds=seeds)  # rounds 0-1: fresh cache
+    # the SERVER flips to Disallow — cached rules must keep admitting
+    # until the TTL elapses
+    state["robots"] = "User-agent: *\nDisallow: /"
+    ms += eng.run_rounds(2)  # round 2: still cached; round 3: expired
+
+    assert [m["robots_blocked"] for m in ms] == [0, 0, 0, 1]
+    assert [m["ok"] for m in ms] == [1, 1, 1, 0]
+    assert len(robots_gets) == 1  # exactly one TTL refetch, at round 3
+    fr = {r["url"]: r for r in eng.frontier().collect()}
+    assert fr[f"{base}/p/0"]["status"] == BAD  # blocked row settled BAD
+    srv.shutdown()
