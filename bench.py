@@ -645,6 +645,66 @@ def _run_leg(
     return json.loads(line)
 
 
+def finalize_scaling_report(report: dict) -> dict:
+    """Make the scaling artifact self-contained (round-4 verdict
+    "wrong" #3/#4): the raw numbers, the north-rule bar verdict, the
+    ceiling normalization AND its caveats all travel in the JSON.
+
+    - probe sanity: an 8→32-way efficiency probe is a ratio/4 and
+      cannot exceed 1.0; anything > 1.1 means the 8-way phase itself
+      was noise-hit (4 occurrences across this project) — such probes
+      are FLAGGED AND EXCLUDED from normalization, never used.
+    - normalization: cpu probes measure (tput_32proc / tput_8proc)/4,
+      a 4×-span composite; per-doubling ceiling = sqrt(probe). The
+      probe span (8→32 threads) is applied to the executor legs'
+      4→16-core span as the box's best available pure-CPU yardstick —
+      an approximation, stated here rather than assumed.
+    - the bar: the ≥0.8 north-rule criterion is judged on the RAW
+      composed 1→4 value. Normalized values contextualize the box,
+      they do not substitute for the bar."""
+    ceilings = report.get("machine_ceilings", {})
+    sanity: dict[str, str] = {
+        "rule": "cpu probe > 1.1 is physically impossible (noise-hit 8-way "
+        "phase) => flagged and excluded from normalization",
+    }
+    credible = []
+    for name in ("cpu_cold", "cpu_hot"):
+        v = ceilings.get(name)
+        if v is None:
+            continue
+        if v > 1.1:
+            sanity[name] = f"discarded ({v} > 1.1)"
+        else:
+            sanity[name] = "ok"
+            credible.append(v)
+    report["probe_sanity"] = sanity
+    raw = report.get("value")
+    dbl = report.get("eff_per_doubling") or {}
+    if credible and raw is not None:
+        ceiling = min(credible)  # conservative: the lower credible probe
+        per_dbl_ceiling = ceiling**0.5
+        report["cpu_ceiling_used"] = round(ceiling, 3)
+        report["cpu_ceiling_per_doubling"] = round(per_dbl_ceiling, 3)
+        report["value_of_ceiling"] = round(raw / ceiling, 3)
+        report["eff_per_doubling_of_ceiling"] = {
+            k: (round(v / per_dbl_ceiling, 3) if v is not None else None)
+            for k, v in dbl.items()
+        }
+    report["north_rule_bar"] = {
+        "required": 0.8,
+        "value_raw_1to4": raw,
+        "met_as_measured": (raw is not None and raw >= 0.8),
+        "note": (
+            "the bar is judged on the raw composed N->4N value; the "
+            "of-ceiling fields document how much of this box's measured "
+            "pure-CPU headroom the job captures (a real N->4N cluster "
+            "adds memory bus, disk and NIC with every node, which this "
+            "single box cannot)"
+        ),
+    }
+    return report
+
+
 def run_scaling_cluster(
     sf_dir: str,
     mult: int = 48,
@@ -674,10 +734,9 @@ def run_scaling_cluster(
     ceilings = {"cpu_cold": _machine_cpu_ceiling()}
     legs: dict[int, list[dict]] = {1: [], 2: [], 4: [], 8: []}
     # interleave: big legs sample early (cool) and late (hot) states;
-    # every leg runs the identical 3-round job (steady = rounds 1-2).
-    # EVERY size gets the SAME rep count (2, best-of) — round-3 advice:
-    # best-of-2 numerators over a single N=1 denominator biased the
-    # reported 1->4 efficiency upward on this box's noisy legs
+    # every leg runs the identical 3-round job (steady = rounds 1-2),
+    # and EVERY size gets the SAME rep count (2, best-of) so no ratio
+    # mixes best-of numerators with a single-sample denominator
     plan = [(4, 3), (2, 3), (8, 3), (1, 3), (4, 3), (1, 3), (2, 3), (8, 3)]
     for n_exec, rounds in plan:
         legs[n_exec].append(
@@ -737,7 +796,7 @@ def run_scaling_cluster(
         "machine_ceilings": ceilings,
         "legs": {str(n): best[n] for n in sorted(best)},
     }
-    print(json.dumps(report))
+    print(json.dumps(finalize_scaling_report(report)))
     return 0
 
 

@@ -1904,12 +1904,10 @@ WHERE window_start + 300 <= (SELECT epoch(max(ts)) - 600 FROM events)
 # round" #7): the Spark side now drives the REAL engine kernel /
 # expression / join the round pipeline runs, while the oracle keeps the
 # original SQL spec — the rows can fail again. The entries below are
-# POPPED from COMMON_SQL so the remaining COMMON rows are pure spec
-# pins (politeness_topk has the stateful engine twin, seen_antijoin has
-# probe_verified, follows_collapse feeds the real collapse in
-# merge_frontier, cron_due's tick math is driver-side python by design,
-# lease_requeue is the documented spec-only O4 row, dedup_exact is the
-# export path's trivial groupBy).
+# POPPED from COMMON_SQL. As of round 5 every former spec pin is
+# engine-backed (lease_requeue — the last one — now drives
+# ``stages.lease_requeue``, the O4 function a future async fetcher
+# would call); COMMON_SQL is empty and the assertion pins it.
 # =====================================================================
 
 _CONVERTED_ORACLE: dict[str, str] = {
@@ -1927,9 +1925,11 @@ _CONVERTED_ORACLE: dict[str, str] = {
         "crawl_seen_antijoin",
         "crawl_follows_collapse",
         "crawl_cron_due",
+        "crawl_lease_requeue",
         "dedup_exact",
     )
 }
+assert not COMMON_SQL, f"unexplained spec pins remain: {sorted(COMMON_SQL)}"
 
 
 def _frontier_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1967,6 +1967,25 @@ def q_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     fr = _frontier_df(spark, sf_dir)
     out = candidates_filter(fr, NOW, ["p0", "p1"])
     return out.select("k", "url", "host", "priority", "exetime", "project")
+
+
+def q_lease_requeue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 via the REAL engine function: ``stages.lease_requeue`` over a
+    synthetic in-flight set (every 13th key, leased at its exetime) at
+    now = T0+3600 with the reference's 600 s lease — the async-fetcher
+    semantics the batch engine implements but (by documented design)
+    never invokes from its own round loop, since batch rounds settle
+    every dispatched row in-round."""
+    from pyspider_spark.engine.stages import lease_requeue
+
+    fr = _frontier_df(spark, sf_dir)
+    inflight = fr.filter(F.col("k") % 13 == 0).select(
+        "k", F.col("exetime").alias("leased_at")
+    )
+    out = lease_requeue(
+        fr, inflight, now=T0 + 3600.0, lease_s=600.0, key_cols=["k"]
+    )
+    return out.select("k", "url", "lease_exp")
 
 
 def q_priority_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2360,6 +2379,10 @@ CUSTOM: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
         _CONVERTED_ORACLE["crawl_follows_collapse"],
     ),
     "crawl_cron_due": (q_cron_due, _CONVERTED_ORACLE["crawl_cron_due"]),
+    "crawl_lease_requeue": (
+        q_lease_requeue,
+        _CONVERTED_ORACLE["crawl_lease_requeue"],
+    ),
     "dedup_exact": (q_dedup_exact, _CONVERTED_ORACLE["dedup_exact"]),
     "crawl_taskid_md5": (q_taskid_md5, _CONVERTED_ORACLE["crawl_taskid_md5"]),
     "crawl_host_extract": (q_host_extract, _CONVERTED_ORACLE["crawl_host_extract"]),

@@ -54,6 +54,41 @@ def candidates_filter(
     )
 
 
+def lease_requeue(
+    frontier: DataFrame,
+    inflight: DataFrame,
+    now: float,
+    lease_s: float = 600.0,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """O4 — processing-lease requeue (``scheduler/task_queue.py —
+    processing + _check_processing() (~L180-220)``): rows dispatched to
+    a fetcher that never reported status within ``lease_s`` re-enter
+    the schedulable set. ``inflight`` is (key_cols..., leased_at) — the
+    set an ASYNC fetch stage would hold between dispatch and settle;
+    returns the still-ACTIVE frontier rows whose lease expired, with
+    ``lease_exp`` (the expiry instant) appended.
+
+    THIS engine's batch rounds never call it from the round loop, by
+    documented design (``config.py — RoundConfig``): every scheduled
+    row settles inside its own round (the fetch stage always resolves
+    to ok/fail/blocked), so the in-flight set is empty at every round
+    boundary, and crash-mid-round safety is the atomic manifest commit
+    + idempotent rerun (``tests/test_resume.py``). The function is the
+    engine's implementation of the O4 semantics for a future async
+    fetcher, and the ``crawl_lease_requeue`` contract gate drives it
+    with a synthetic in-flight set against the DuckDB oracle."""
+    key_cols = key_cols or KEY
+    expired = inflight.filter(
+        F.col("leased_at") + F.lit(lease_s) < F.lit(now)
+    ).select(*key_cols, "leased_at")
+    return (
+        frontier.filter(F.col("status") == ACTIVE)
+        .join(expired, key_cols)
+        .withColumn("lease_exp", F.col("leased_at") + F.lit(lease_s))
+    )
+
+
 def retry_delay_expr(cfg: RoundConfig) -> Column:
     """F8 — the retry-delay CASE the settle stage applies
     (``scheduler/scheduler.py — DEFAULT_RETRY_DELAY``): delay keyed by
