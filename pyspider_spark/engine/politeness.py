@@ -83,6 +83,12 @@ def check_robots(
     robots_rows: int | None = None,
 ) -> DataFrame:
     """Adds boolean `allowed`; no robots row for a host ⇒ allowed.
+    Tasks toward a ``robots_txt=False`` callback bypass the gate
+    entirely (the reference's per-task ``fetch.robots_txt`` field,
+    inverted to a per-callback opt-out of our crawl-wide default —
+    see ``handlers.Handler.robots_txt``); the exemption is a JVM-side
+    literal-list predicate OR'd over the vectorized check, so exempt
+    rows cost nothing extra.
 
     Join strategy is bounded like the fetch join (ADVICE r1): the dim
     is broadcast only when its row count is KNOWN (`robots_rows`, from
@@ -91,6 +97,9 @@ def check_robots(
     host by AQE's choice instead of being force-collected."""
     if not cfg.respect_robots:
         return cands.withColumn("allowed", F.lit(True))
+    from pyspider_spark.handlers import no_robots_callbacks
+
+    exempt_cbs = no_robots_callbacks()
     dim = robots.select("host", "robots_txt")
     if robots_rows is not None and robots_rows <= cfg.robots_broadcast_max_rows:
         dim = F.broadcast(dim)
@@ -105,10 +114,12 @@ def check_robots(
     # core-count-invariant floor of the `schedule` phase. The Arrow hop
     # for no-robots rows costs three narrow columns — far less than a
     # second frontier resolve.
-    return j.withColumn(
-        "allowed",
-        _robots_allowed(F.col("host"), F.col("canon_url"), F.col("robots_txt")),
-    ).drop("robots_txt")
+    allowed = _robots_allowed(
+        F.col("host"), F.col("canon_url"), F.col("robots_txt")
+    )
+    if exempt_cbs and "callback" in cands.columns:
+        allowed = F.col("callback").isin(exempt_cbs) | allowed
+    return j.withColumn("allowed", allowed).drop("robots_txt")
 
 
 def admit(

@@ -80,6 +80,16 @@ class Handler:
     fetch_data: str | None = None  # request body (POST forms etc.)
     fetch_headers: tuple = ()  # ((name, value), ...) extra headers
     user_agent: str | None = None  # overrides the transport default UA
+    # the reference's ``fetch.robots_txt`` task field — there robots
+    # checking is per-task OPT-IN (default False,
+    # ``tornado_fetcher.py — http_fetch`` checks can_fetch only when
+    # set); our engine inverts the default to crawl-wide ON
+    # (``RoundConfig.respect_robots``, the responsible default for a
+    # web-scale crawler) and this flag is the per-callback OPT-OUT
+    # that completes the parity: tasks toward a robots_txt=False
+    # callback bypass the robots gate (e.g. fetching a host's own
+    # robots/sitemap endpoints, or an API the operator controls).
+    robots_txt: bool = True
 
 
 def _content_of(content: bytes | None, url: str) -> bytes | None:
@@ -265,6 +275,13 @@ REGISTRY: dict[str, Handler] = {
             user_agent="pyspider-spark-post/1.0",
         ),
         Handler("strict_page", h_strict_page),
+        # robots-exempt crawl (the reference's robots_txt=False
+        # default, scoped to one callback): same extraction as
+        # index_page, but the robots gate is bypassed
+        Handler(
+            "robots_exempt_page", h_index_page, follow_callback="detail_page",
+            robots_txt=False,
+        ),
     )
 }
 
@@ -277,6 +294,13 @@ def get(name: str | None) -> Handler:
 
 def catch_error_callbacks() -> list[str]:
     return sorted(h.name for h in REGISTRY.values() if h.catch_status_code_error)
+
+
+def no_robots_callbacks() -> list[str]:
+    """Callbacks whose tasks bypass the robots gate (robots_txt=False
+    — the per-callback opt-out of the crawl-wide default; consumed
+    JVM-side in ``engine/politeness.check_robots``)."""
+    return sorted(h.name for h in REGISTRY.values() if not h.robots_txt)
 
 
 def js_callbacks() -> list[str]:

@@ -195,3 +195,40 @@ def test_robots_ttl_expiry_refetches_live(spark, tmp_path):
     fr = {r["url"]: r for r in eng.frontier().collect()}
     assert fr[f"{base}/p/0"]["status"] == BAD  # blocked row settled BAD
     srv.shutdown()
+
+
+def test_robots_exempt_callback_bypasses_gate(spark):
+    """The reference's per-task fetch.robots_txt field as a
+    per-callback opt-out: on a Disallow-all host, tasks toward a
+    robots_txt=False callback schedule normally while ordinary tasks
+    are blocked BAD."""
+    import pyspark.sql.functions as F
+
+    from pyspider_spark.engine import schema as S
+    from pyspider_spark.engine.politeness import schedule_round
+
+    cfg = RoundConfig(n_partitions=2, respect_robots=True)
+    now = cfg.t0
+    rows = [
+        ("p0", "t1", "http://ra.example/a", "http://ra.example/a",
+         "ra.example", 0, 0.0, -1.0, False, "index_page", 3),
+        ("p0", "t2", "http://ra.example/b", "http://ra.example/b",
+         "ra.example", 0, 0.0, -1.0, False, "robots_exempt_page", 3),
+    ]
+    cands = spark.createDataFrame(
+        rows,
+        "project string, taskid string, url string, canon_url string, "
+        "host string, priority int, exetime double, age double, "
+        "auto_recrawl boolean, callback string, retries_left int",
+    )
+    robots = spark.createDataFrame(
+        [("ra.example", "User-agent: *\nDisallow: /")],
+        "host string, robots_txt string",
+    )
+    host_state = S.empty_df(spark, S.HOST_STATE_SCHEMA)
+    sched, blocked, checked = schedule_round(cands, robots, host_state, cfg, now)
+    try:
+        assert [r["taskid"] for r in sched.collect()] == ["t2"]
+        assert [r["taskid"] for r in blocked.collect()] == ["t1"]
+    finally:
+        checked.unpersist()
