@@ -388,12 +388,12 @@ def fetch_one(
     # Set-Cookie domain=/path= attributes beyond the host are out of
     # scope for a crawl fetcher and documented as such.
     jar: dict[str, dict[str, str]] = {}
-    if cookies:
-        jar[urlsplit(url).hostname or ""] = dict(cookies)
     cur, cur_method = url, method
     cur_body = data.encode("utf-8") if isinstance(data, str) else data
     redirects = 0
     try:
+        if cookies:
+            jar[urlsplit(url).hostname or ""] = dict(cookies)
         while True:
             cur_host = urlsplit(cur).hostname or ""
             # default UA (the reference fetcher always sends one; many
@@ -457,7 +457,12 @@ def fetch_one(
             if body is not None and max_content is not None and len(body) > max_content:
                 body = body[:max_content]
             return _result(resp.status, body, cur, url, resp.headers)
-    except TransportError as e:
+    except (TransportError, ValueError) as e:
+        # ValueError: urlsplit/urljoin raise it bare on malformed urls
+        # the .port guard can't reach — 'Invalid IPv6 URL' from a
+        # crawled 'http://[::1:80/x' or a hostile redirect Location
+        # 'http://[evil' (round-5 review). One bad row must produce a
+        # 599 result, never kill the fetch task.
         return _result(FETCH_TIMEOUT, None, cur, url, {}, error=str(e))
 
 

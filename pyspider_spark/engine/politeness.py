@@ -118,7 +118,12 @@ def check_robots(
         F.col("host"), F.col("canon_url"), F.col("robots_txt")
     )
     if exempt_cbs and "callback" in cands.columns:
-        allowed = F.col("callback").isin(exempt_cbs) | allowed
+        # coalesce: NULL callback on a disallowed host must yield
+        # allowed=false, not NULL — a NULL drops out of BOTH the
+        # scheduled and the blocked branch and becomes a zombie row
+        # that re-enters candidates forever (round-5 review)
+        exempt = F.coalesce(F.col("callback").isin(exempt_cbs), F.lit(False))
+        allowed = exempt | allowed
     return j.withColumn("allowed", allowed).drop("robots_txt")
 
 

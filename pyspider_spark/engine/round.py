@@ -324,39 +324,62 @@ class CrawlEngine:
         ov = self._robots_overlay
         if ov is not None:
             eff = eff.join(ov.select("host"), "host", "left_anti").unionByName(ov)
-        stale = eff.filter(F.lit(now) - F.col("fetched_ts") >= cfg.robots_expiry)
+        # deterministic per-host expiry SPREAD (round-5 review): a dim
+        # whose rows share one fetched_ts (e.g. the t0 default) would
+        # otherwise go stale in lockstep — the whole dim refetched in
+        # one synchronized burst every TTL, forever. Each host's
+        # effective TTL is expiry + crc32(host) % (expiry/5), so
+        # refetch load spreads over a 20% window and STAYS spread
+        # (the per-host offset is stable across rounds).
+        spread = max(1, int(cfg.robots_expiry / 5))
+        ttl_eff = F.lit(cfg.robots_expiry) + (F.crc32("host") % F.lit(spread))
+        stale = eff.filter(F.lit(now) - F.col("fetched_ts") >= ttl_eff)
         if stale.limit(1).count() == 0:
             return
         spec, arg = cfg.http_transport, cfg.http_transport_arg
         timeout, max_r = cfg.http_timeout, cfg.max_redirects
+        pool = max(1, cfg.http_pool)
 
         def fn(it):
+            from concurrent.futures import ThreadPoolExecutor
+
             from pyspider_spark.engine.fetch_http import fetch_one, make_transport
 
             transport = make_transport(spec, arg)
-            for pdf in it:
-                if len(pdf) == 0:
-                    continue
-                texts = []
-                for h, ru in zip(pdf["host"], pdf["robots_url"]):
-                    url = ru if isinstance(ru, str) and ru else f"http://{h}/robots.txt"
-                    r = fetch_one(
-                        transport, url,
-                        timeout=timeout, max_redirects=max_r,
-                        max_content=1 << 20,
-                    )
-                    if r["code"] == 200 and r["content"] is not None:
-                        texts.append(
-                            r["content"].decode("utf-8", errors="replace")
-                        )
-                    else:
-                        texts.append("")  # miss/error ⇒ allow-all
-                out = pdf[["host", "robots_url"]].copy()
-                out["robots_txt"] = texts
-                out["fetched_ts"] = float(now)
-                yield out
 
-        fresh = stale.select("host", "robots_url").mapInPandas(
+            def one(h, ru, old):
+                url = ru if isinstance(ru, str) and ru else f"http://{h}/robots.txt"
+                r = fetch_one(
+                    transport, url,
+                    timeout=timeout, max_redirects=max_r,
+                    max_content=1 << 20,
+                )
+                if r["code"] == 200 and r["content"] is not None:
+                    return r["content"].decode("utf-8", errors="replace")
+                if r["code"] == 404:
+                    return ""  # definitive no-robots ⇒ allow-all
+                # transient failure (599/5xx): KEEP the known rules —
+                # a timeout must not flip a Disallow host to allow-all
+                # for a whole TTL (round-5 review); fetched_ts still
+                # advances so the retry waits out the next TTL instead
+                # of hammering every round
+                return old if isinstance(old, str) else ""
+
+            # thread-pool fan-out (round-5 review: serial per-partition
+            # fetches block the round for minutes on a wide stale set)
+            with ThreadPoolExecutor(pool) as ex:
+                for pdf in it:
+                    if len(pdf) == 0:
+                        continue
+                    texts = list(
+                        ex.map(one, pdf["host"], pdf["robots_url"], pdf["robots_txt"])
+                    )
+                    out = pdf[["host", "robots_url"]].copy()
+                    out["robots_txt"] = texts
+                    out["fetched_ts"] = float(now)
+                    yield out
+
+        fresh = stale.select("host", "robots_url", "robots_txt").mapInPandas(
             fn, "host string, robots_url string, robots_txt string, fetched_ts double"
         ).select("host", "robots_txt", "fetched_ts", "robots_url").localCheckpoint()
         ov = (
@@ -1136,9 +1159,14 @@ class CrawlEngine:
             .alias("new_retries_left"),
             F.when(is_ok, F.lit(now)).alias("new_lastcrawltime"),
             # conditional-refetch validators captured from 200-response
-            # headers (HTTP stage; nulls on the join path and on 304 —
-            # the frontier write coalesces nulls to the stored value,
-            # so a 304 keeps the validators that just proved fresh)
+            # headers. validators_fresh marks rows whose response IS
+            # the authority on validators: a 200 REPLACES the stored
+            # pair even when the server sent none (a validator-less
+            # 200 after a content change must CLEAR the old etag, or a
+            # later revert to the old content would 304 against a
+            # stored result that no longer matches — round-5 review);
+            # a 304/failed/join-path row carries the stored pair.
+            (F.col("code") == 200).alias("validators_fresh"),
             F.when(
                 F.col("code") == 200,
                 F.get_json_object("fetch_headers", "$.etag"),
@@ -1162,6 +1190,7 @@ class CrawlEngine:
             F.lit(None).cast("double").alias("new_exetime"),
             F.lit(None).cast("int").alias("new_retries_left"),
             F.lit(None).cast("double").alias("new_lastcrawltime"),
+            F.lit(False).alias("validators_fresh"),
             F.lit(None).cast("string").alias("new_etag"),
             F.lit(None).cast("string").alias("new_last_modified"),
             F.lit("blocked").alias("kind"),
@@ -1277,11 +1306,17 @@ class CrawlEngine:
                 F.coalesce("s.new_exetime", "o.exetime").alias("exetime"),
                 F.coalesce("s.new_retries_left", "o.retries_left").alias("retries_left"),
                 F.coalesce("s.new_lastcrawltime", "o.lastcrawltime").alias("lastcrawltime"),
-                # validators: fresh from this crawl's headers, else carry
-                F.coalesce("s.new_etag", "o.etag").alias("etag"),
-                F.coalesce("s.new_last_modified", "o.last_modified").alias(
-                    "last_modified"
-                ),
+                # validators: a 200 response is authoritative (REPLACES
+                # the stored pair, clearing it when the server sent
+                # none); every other settle carries the stored pair
+                F.when(F.col("s.validators_fresh"), F.col("s.new_etag"))
+                .otherwise(F.col("o.etag"))
+                .alias("etag"),
+                F.when(
+                    F.col("s.validators_fresh"), F.col("s.new_last_modified")
+                )
+                .otherwise(F.col("o.last_modified"))
+                .alias("last_modified"),
                 F.lit(now).alias("updatetime"),  # settle always stamps
                 # a key inserted AND settled in the same round (every
                 # round-0 seed) is still an insert for live-row lineage

@@ -107,15 +107,19 @@ def export_corpus(
     if dedup:
         from pyspider_spark.ops.dedup import simhash_keep_table
 
-        # the dedup branch fans `out` into ~6 consumers in one action
-        # (both sides of the band self-join, the component nodes, the
-        # final canon join) — without a materialization point each one
+        # the dedup branch fans `out` into ~6 consumers while building
+        # the keep table (both sides of the band self-join, the
+        # component nodes) — without a materialization point each one
         # re-runs the Python analyze pass over all text (review r4).
-        # The branch is already eager (the component loop runs count
-        # actions), so materialize the final frame (localCheckpoint)
-        # and unpersist before returning — a long-lived session must
-        # not accumulate cached partitions per call (round-4 advice;
-        # same leak class the contract schedule gates fixed).
+        # Persist `out` for the (already-eager) keep-table build, then
+        # materialize ONLY the small keeper-KEY table (localCheckpoint
+        # of keys, not corpus) and unpersist before returning the lazy
+        # final join: a long-lived session must not accumulate cached
+        # partitions per call (round-4 advice), and checkpointing the
+        # full text corpus into executor block storage would double
+        # storage and make the returned frame unrecoverable on
+        # executor loss (round-5 review). Cost: the caller's write
+        # action streams ONE more analyze pass over the text.
         out = out.persist()
         try:
             fps = out.select(F.col(key_col).alias("doc_id"), "simhash")
@@ -123,14 +127,14 @@ def export_corpus(
                 fps, bits=64, max_hamming=max_hamming,
                 max_band_width=max_band_width,
             )
-            canon = keep.filter(F.col("doc_id") == F.col("dup_of")).select(
-                F.col("doc_id").alias(key_col)
+            canon = (
+                keep.filter(F.col("doc_id") == F.col("dup_of"))
+                .select(F.col("doc_id").alias(key_col))
+                .localCheckpoint()
             )
-            return with_shard(
-                out.join(canon, key_col, "inner"), key_col, n_shards
-            ).localCheckpoint()
         finally:
             out.unpersist()
+        out = out.join(canon, key_col, "inner")
     return with_shard(out, key_col, n_shards)
 
 

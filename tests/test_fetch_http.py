@@ -154,6 +154,23 @@ def test_etag_conditional_and_304():
     assert r["code"] == 304 and r["content"] is None
 
 
+def test_malformed_urls_are_599_not_crash():
+    """Round-5 review: urlsplit/urljoin raise bare ValueError on
+    malformed urls ('Invalid IPv6 URL', bad ports) — from a crawled
+    row OR a hostile redirect Location — and must map to the 599 row,
+    never escape the fetch task."""
+    t = ChainTransport({"http://a.ex/r": (301, {"Location": "http://[evil"}, b"")})
+    r = fetch_one(t, "http://a.ex/r")
+    assert r["code"] == 599 and r["error"]
+    r2 = fetch_one(UrllibTransport(), "http://[::1:80/x")  # bad IPv6 literal
+    assert r2["code"] == 599 and r2["error"]
+    r3 = fetch_one(UrllibTransport(), "http://h.ex:99999/")  # bad port
+    assert r3["code"] == 599 and r3["error"]
+    # malformed url + cookies: the jar seeding parse is guarded too
+    r4 = fetch_one(UrllibTransport(), "http://[evil", cookies={"a": "1"})
+    assert r4["code"] == 599
+
+
 def test_transport_timeout_is_599():
     t = ChainTransport({"http://slow.ex/": "timeout"})
     r = fetch_one(t, "http://slow.ex/")
@@ -652,6 +669,17 @@ def recording_server():
                         [("ETag", '"c1"'),
                          ("Last-Modified", "Mon, 01 Jan 2026 00:00:00 GMT")],
                     )
+            elif self.path == "/cond2":
+                # first hit: 200 + validator; later hits: the content
+                # changed and the server stopped sending validators —
+                # the stored etag must be CLEARED, not carried
+                if any(s[1] == "/cond2" for s in seen[:-1]):
+                    self._reply(200, b"<body><p>changed, no validators</p></body>")
+                else:
+                    self._reply(
+                        200, b"<body><p>original</p></body>",
+                        [("ETag", '"x1"')],
+                    )
             else:
                 self._reply(404)
 
@@ -686,6 +714,7 @@ def test_engine_rounds_post_and_conditional_refetch(
         [
             (f"{base}/form", "test_project", "post_form", False, -1.0),
             (f"{base}/cond", "test_project", "detail_page", True, 0.0),
+            (f"{base}/cond2", "test_project", "detail_page", True, 0.0),
         ],
         "url string, project string, callback string, auto_recrawl boolean, age double",
     )
@@ -724,9 +753,10 @@ def test_engine_rounds_post_and_conditional_refetch(
     assert conds[1][2].get("If-Modified-Since", "").startswith("Mon, 01 Jan 2026")
 
     # both rounds settled every row ok (no retries/failures): round 0 =
-    # 2 seeds + test_project's tick-0 cron row; round 1 = the 304 row
-    assert ms[0]["ok"] == 3 and ms[0]["failed"] == 0
-    assert ms[1]["ok"] == 1 and ms[1]["failed"] == 0
+    # 3 seeds + test_project's tick-0 cron row; round 1 = the 304 row
+    # plus the changed /cond2 re-crawl
+    assert ms[0]["ok"] == 4 and ms[0]["failed"] == 0
+    assert ms[1]["ok"] == 2 and ms[1]["failed"] == 0
 
     # frontier keeps the validator and the row stays SUCCESS-crawled
     fr = {r["url"]: r for r in eng.frontier().collect()}
@@ -735,6 +765,16 @@ def test_engine_rounds_post_and_conditional_refetch(
     assert cond_row["last_modified"] == "Mon, 01 Jan 2026 00:00:00 GMT"
     assert cond_row["lastcrawltime"] == cfg.now(1)  # the 304 counts as a crawl
     assert fr[f"{base}/form"]["status"] == SUCCESS
+
+    # validator lifecycle (round-5 review): /cond2's round-1 request
+    # carried the stored etag, the server answered 200 WITHOUT
+    # validators (content changed) — the stored pair must be CLEARED,
+    # or a later revert would 304 against the wrong stored result
+    cond2 = [s for s in seen if s[1] == "/cond2"]
+    assert len(cond2) == 2
+    assert cond2[1][2].get("If-None-Match") == '"x1"'
+    assert fr[f"{base}/cond2"]["etag"] is None
+    assert fr[f"{base}/cond2"]["last_modified"] is None
 
     # the 304 emitted NO new result row: exactly one result per url
     man = eng.snap.read_manifest()

@@ -214,6 +214,11 @@ def test_robots_exempt_callback_bypasses_gate(spark):
          "ra.example", 0, 0.0, -1.0, False, "index_page", 3),
         ("p0", "t2", "http://ra.example/b", "http://ra.example/b",
          "ra.example", 0, 0.0, -1.0, False, "robots_exempt_page", 3),
+        # NULL callback on the disallowed host: three-valued logic must
+        # not make it vanish from BOTH branches (round-5 review — a
+        # NULL `allowed` row would stay ACTIVE forever as a zombie)
+        ("p0", "t3", "http://ra.example/c", "http://ra.example/c",
+         "ra.example", 0, 0.0, -1.0, False, None, 3),
     ]
     cands = spark.createDataFrame(
         rows,
@@ -229,6 +234,110 @@ def test_robots_exempt_callback_bypasses_gate(spark):
     sched, blocked, checked = schedule_round(cands, robots, host_state, cfg, now)
     try:
         assert [r["taskid"] for r in sched.collect()] == ["t2"]
-        assert [r["taskid"] for r in blocked.collect()] == ["t1"]
+        assert sorted(r["taskid"] for r in blocked.collect()) == ["t1", "t3"]
     finally:
         checked.unpersist()
+
+
+def test_robots_ttl_failed_refetch_keeps_known_rules(spark, tmp_path):
+    """Round-5 review: a TRANSIENT failure of the TTL refetch (5xx/
+    timeout) must keep the host's known Disallow rules, not flip the
+    host to allow-all for a whole TTL. (A definitive 404 still means
+    no-robots ⇒ allow.)"""
+    import http.server
+    import threading
+
+    robots_gets: list[int] = []
+
+    class RH(http.server.BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            if self.path == "/robots500":
+                robots_gets.append(1)
+                self.send_response(500)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+            elif self.path == "/p/0":
+                body = b"<html><body><p>page</p></body></html>"
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self.send_response(404)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), RH)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+
+    cfg = RoundConfig(
+        n_partitions=2,
+        respect_robots=True,
+        robots_expiry=0.5,  # stale from round 1 on
+        fetch_stage="http",
+        http_transport="pyspider_spark.engine.fetch_http:urllib_transport",
+        http_pool=2,
+        http_timeout=10.0,
+    )
+    pages = pa.table(
+        {
+            "url": pa.array([f"{base}/p/0"]),
+            "warc_ts": pa.array(
+                [dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)],
+                pa.timestamp("us", tz="UTC"),
+            ),
+            "html": pa.array([b"<html></html>"], pa.binary()),
+            "text": pa.array([""]),
+            "lang": pa.array(["en"]),
+        }
+    )
+    projects = pa.table(
+        {
+            "project": pa.array(["test_project"]),
+            "status": pa.array(["RUNNING"]),
+            "rate": pa.array([10.0]),
+            "burst": pa.array([10.0]),
+            "min_tick": pa.array([0.0]),
+            "script_ref": pa.array(["default_extractor"]),
+        }
+    )
+    robots = pa.table(
+        {
+            "host": pa.array(["127.0.0.1"]),
+            "robots_txt": pa.array(["User-agent: *\nDisallow: /"]),
+            "fetched_ts": pa.array([cfg.t0], pa.float64()),
+            "robots_url": pa.array([f"{base}/robots500"]),
+        }
+    )
+    for name, tbl in (("pages", pages), ("projects", projects), ("robots", robots)):
+        pq.write_table(tbl, str(tmp_path / f"{name}.parquet"))
+
+    eng = CrawlEngine(
+        spark,
+        str(tmp_path / "state_keep"),
+        cfg,
+        pages_path=str(tmp_path / "pages.parquet"),
+        projects_path=str(tmp_path / "projects.parquet"),
+        robots_path=str(tmp_path / "robots.parquet"),
+    )
+    seeds = spark.createDataFrame(
+        [(f"{base}/p/0", "test_project")], "url string, project string"
+    )
+    m0 = eng.run_rounds(1, seeds=seeds)[0]
+    assert m0["robots_blocked"] == 1  # dim rules block round 0
+    # round 1: the dim row is stale; the refetch 500s — known Disallow
+    # rules must survive, so the force-restarted row blocks again
+    recrawl = spark.createDataFrame(
+        [(f"{base}/p/0", "test_project", True)],
+        "url string, project string, force_update boolean",
+    )
+    m1 = eng.run_rounds(1, inject_at={1: recrawl})[0]
+    assert len(robots_gets) == 1  # the refetch WAS attempted
+    assert m1["robots_blocked"] == 1 and m1["ok"] == 0
+    srv.shutdown()
