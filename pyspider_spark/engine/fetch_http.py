@@ -527,6 +527,22 @@ def fetch_stage(sched, cfg: RoundConfig):
         from pyspider_spark import handlers as H
 
         transport = make_transport(spec, arg)
+        # lazy insecure twin for validate_cert=False callbacks (the
+        # reference's fetch.validate_cert task field) — only built if
+        # such a row actually arrives, and only for the real TLS
+        # transport (scripted transports don't do TLS)
+        twins: dict[str, object] = {}
+
+        def _transport_for(h) -> object:
+            if h.validate_cert or not spec.endswith(":urllib_transport"):
+                return transport
+            t = twins.get("insecure")
+            if t is None:
+                t = twins["insecure"] = UrllibTransport(
+                    max_content=int(arg) if arg else DEFAULT_MAX_CONTENT,
+                    validate_cert=False,
+                )
+            return t
 
         def one(u: str, cb: str | None, etag, last_modified) -> dict:
             if u.startswith("data:"):
@@ -536,7 +552,7 @@ def fetch_stage(sched, cfg: RoundConfig):
             if h.user_agent:
                 hdrs["User-Agent"] = h.user_agent
             return fetch_one(
-                transport, u,
+                _transport_for(h), u,
                 method=h.fetch_method,
                 data=h.fetch_data,
                 headers=hdrs or None,

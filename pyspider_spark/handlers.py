@@ -90,6 +90,11 @@ class Handler:
     # callback bypass the robots gate (e.g. fetching a host's own
     # robots/sitemap endpoints, or an API the operator controls).
     robots_txt: bool = True
+    # the reference's ``fetch.validate_cert`` task field: tasks toward
+    # a validate_cert=False callback accept self-signed/invalid TLS
+    # certs (the production fetch stage routes them through an
+    # unverified-context transport twin; see fetch_http.fetch_stage)
+    validate_cert: bool = True
 
 
 def _content_of(content: bytes | None, url: str) -> bytes | None:
@@ -281,6 +286,13 @@ REGISTRY: dict[str, Handler] = {
         Handler(
             "robots_exempt_page", h_index_page, follow_callback="detail_page",
             robots_txt=False,
+        ),
+        # validate_cert=False crawl (self-signed/internal TLS hosts):
+        # the fetch stage routes these through the unverified-context
+        # transport twin
+        Handler(
+            "insecure_tls_page", h_index_page, follow_callback="detail_page",
+            validate_cert=False,
         ),
     )
 }

@@ -959,3 +959,33 @@ def test_https_validate_cert_false(https_server):
     assert r["code"] == 200
     assert r["redirect_url"] == f"{base}/landed"
     assert b"secure /landed" in r["content"]
+
+
+def test_fetch_stage_validate_cert_routing(spark, https_server):
+    """Per-callback validate_cert (the reference's fetch.validate_cert
+    task field) through the REAL Spark stage against the self-signed
+    TLS server: a validate_cert=False callback fetches 200 via the
+    unverified-context twin while the default callback 599s on
+    verification — in the same batch."""
+    from pyspider_spark.config import RoundConfig
+    from pyspider_spark.engine.fetch_http import fetch_http_and_extract
+
+    _, base, _ = https_server
+    cfg = RoundConfig(
+        fetch_stage="http",
+        http_transport="pyspider_spark.engine.fetch_http:urllib_transport",
+        http_pool=2,
+        http_timeout=10.0,
+    )
+    sched = spark.createDataFrame(
+        [
+            (f"{base}/page", "p", "t1", "127.0.0.1", "insecure_tls_page"),
+            (f"{base}/page", "p", "t2", "127.0.0.1", "index_page"),
+        ],
+        "canon_url string, project string, taskid string, host string, callback string",
+    )
+    rows = {r["taskid"]: r for r in fetch_http_and_extract(sched, cfg).collect()}
+    assert rows["t1"]["code"] == 200 and rows["t1"]["proc_ok"]
+    assert "secure /page" in rows["t1"]["text"]
+    assert rows["t2"]["code"] == 599 and not rows["t2"]["proc_ok"]
+    assert "CERTIFICATE" in (rows["t2"]["fetch_error"] or "").upper()
