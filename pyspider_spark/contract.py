@@ -1405,6 +1405,45 @@ def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs(spark, spark.table("embeddings"), threshold=0.2, n_blocks=8)
 
 
+def q_embedding_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup KEEP assignment
+    (ops/similarity.embedding_keep_table): exact grid pairs at
+    cosine ≥ 0.5 → min-label components → (vec_id, dup_of) — the
+    dedup ACTION over an embedding column, vs a recursive-CTE
+    connected-components oracle over the same exact pair set."""
+    from pyspider_spark.ops.similarity import embedding_keep_table
+
+    register_views(spark, sf_dir)
+    return embedding_keep_table(
+        spark, spark.table("embeddings"), threshold=0.5
+    )
+
+
+def _sql_embedding_keep(d: str) -> str:
+    xf = "transform" if d == "spark" else "list_transform"
+    return f"""
+WITH RECURSIVE {_vec_cte(d)},
+n0 AS (SELECT vec_id, ev, sqrt({_dot(d, 'ev', 'ev')}) AS nrm FROM e),
+n AS (SELECT vec_id, {xf}(ev, x -> x / nrm) AS nv FROM n0),
+vp AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+  WHERE round({_dot(d, 'a.nv', 'b.nv')}, 6) >= 0.5
+),
+edges AS (
+  SELECT vec_a AS src, vec_b AS dst FROM vp
+  UNION ALL
+  SELECT vec_b AS src, vec_a AS dst FROM vp
+),
+walk(vec_id, lbl) AS (
+  SELECT vec_id, vec_id FROM e
+  UNION
+  SELECT e2.dst, w.lbl FROM walk w JOIN edges e2 ON e2.src = w.vec_id
+)
+SELECT vec_id, min(lbl) AS dup_of FROM walk GROUP BY vec_id
+"""
+
+
 def q_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RHP-bucketed near-dup engine op — the LSH-assign → per-bucket
     BLAS composition (the 10^8-vector plan); oracle mirrors the
@@ -2400,6 +2439,7 @@ CUSTOM: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     "dedup_minhash_pairs": (q_dedup_minhash_pairs, ORACLE_DEDUP_PAIRS),
     "dedup_corpus_keep": (q_dedup_corpus, ORACLE_DEDUP_CORPUS),
     "sim_near_dup_pairs": (q_near_dup_pairs, _sql_near_dup_vec("duck")),
+    "dedup_embedding_keep": (q_embedding_keep, _sql_embedding_keep("duck")),
     "sim_lsh_near_dup": (q_lsh_near_dup, _sql_lsh_near_dup("duck")),
     "crawl_schedule_stateful": (
         q_schedule_stateful,

@@ -287,3 +287,38 @@ def cosine_topk(
         fn, "vec_id bigint, cosine double"
     )
     return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
+
+
+def embedding_keep_table(
+    spark: SparkSession,
+    emb: DataFrame,
+    threshold: float = 0.9,
+    exact: bool = True,
+    n_planes: int = 4,
+    dim: int = 64,
+    cell_rows: int = _GRID_CELL_ROWS,
+) -> DataFrame:
+    """Embedding-cosine near-dup KEEP assignment — the training-data
+    dedup action over an embedding column: near-dup pairs (exact
+    block-grid by default; RHP-bucketed approximate for the 10^9+
+    scale path) → min-label connected components → (vec_id, dup_of)
+    where dup_of is the component's min vec_id (dup_of == vec_id ⇔
+    the kept canonical vector). The same composition shape as
+    ``ops/dedup.simhash_keep_table``, driven by cosine instead of
+    hamming; every stage is individually bounded (grid cells /
+    per-bucket grid cells, component loop over edge-connected nodes
+    only)."""
+    from pyspider_spark.ops.dedup import min_label_components
+
+    pairs = (
+        near_dup_pairs(spark, emb, threshold)
+        if exact
+        else lsh_near_dup(spark, emb, threshold, n_planes, dim, cell_rows)
+    )
+    edges = pairs.select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    nodes = emb.select(F.col("vec_id").alias("doc_id"))
+    return min_label_components(nodes, edges).select(
+        F.col("doc_id").alias("vec_id"), F.col("dup_of")
+    )

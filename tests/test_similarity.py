@@ -87,3 +87,31 @@ def test_lsh_singleton_buckets_single_cell(spark):
     cells = _lsh_grid_cells(bucketed, 10**9)
     assert cells.count() == 40  # no row replicated
     assert cells.filter((F.col("bi") != 0) | (F.col("bj") != 0)).count() == 0
+
+
+def test_embedding_keep_table_collapses_duplicates(spark):
+    """embedding_keep_table: exact-duplicate vectors (cosine 1) plus a
+    near-dup chain collapse to the component's min vec_id; orthogonal
+    vectors keep themselves."""
+    from pyspider_spark.ops.similarity import embedding_keep_table
+
+    base = [1.0] + [0.0] * (DIM - 1)
+    near = [0.999, 0.04] + [0.0] * (DIM - 2)
+    ortho = [0.0, 0.0, 1.0] + [0.0] * (DIM - 3)
+    emb = spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (9, ortho)],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["vec_id"]: r["dup_of"]
+        for r in embedding_keep_table(spark, emb, threshold=0.9).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 9: 9}
+    # the approximate (LSH) path agrees on this fixture
+    out2 = {
+        r["vec_id"]: r["dup_of"]
+        for r in embedding_keep_table(
+            spark, emb, threshold=0.9, exact=False, dim=DIM
+        ).collect()
+    }
+    assert out2 == out
