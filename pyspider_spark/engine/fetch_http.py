@@ -530,18 +530,23 @@ def fetch_stage(sched, cfg: RoundConfig):
         # lazy insecure twin for validate_cert=False callbacks (the
         # reference's fetch.validate_cert task field) — only built if
         # such a row actually arrives, and only for the real TLS
-        # transport (scripted transports don't do TLS)
+        # transport (scripted transports don't do TLS). Creation is
+        # LOCKED: `one()` runs on the pool threads, and two racing
+        # first-insecure-rows would each build a twin, orphaning the
+        # loser's keep-alive sockets until GC (round-5 review).
         twins: dict[str, object] = {}
+        twin_lock = threading.Lock()
 
         def _transport_for(h) -> object:
             if h.validate_cert or not spec.endswith(":urllib_transport"):
                 return transport
-            t = twins.get("insecure")
-            if t is None:
-                t = twins["insecure"] = UrllibTransport(
-                    max_content=int(arg) if arg else DEFAULT_MAX_CONTENT,
-                    validate_cert=False,
-                )
+            with twin_lock:
+                t = twins.get("insecure")
+                if t is None:
+                    t = twins["insecure"] = UrllibTransport(
+                        max_content=int(arg) if arg else DEFAULT_MAX_CONTENT,
+                        validate_cert=False,
+                    )
             return t
 
         def one(u: str, cb: str | None, etag, last_modified) -> dict:

@@ -234,6 +234,12 @@ class CrawlEngine:
         self.robots_path = robots_path
         self._robots_stat: tuple | None = None
         self._robots_overlay = None  # expiry-refetched rows (S10 TTL)
+        # the _robots_stat snapshot at which the overlay was last
+        # folded into self.robots — when _load_robots re-reads the dim
+        # (stat changed) the overlay must be re-applied even if
+        # nothing is stale, or fresher wire-fetched rules silently
+        # regress to the file's (round-5 review, second pass)
+        self._robots_overlay_stat: tuple | None = None
         self._load_robots()
 
     def _pages_stamp(self, pages_path: str) -> str:
@@ -286,8 +292,12 @@ class CrawlEngine:
         over the wire (``http://<host>/robots.txt`` through the
         configured transport, executor-side mapInPandas — the stale set
         is expiry-spread, not the whole dim) and overlay the dim until
-        they expire again. A non-200/failed fetch yields empty rules =
-        allow-all, the reference's error behavior. Only meaningful with
+        they expire again. Refetch outcomes: 200 ⇒ new rules; 404 ⇒
+        DEFINITIVE no-robots ⇒ empty rules (allow-all, the reference's
+        error behavior for a missing file); transient failure
+        (timeout/5xx/599) ⇒ the host's KNOWN rules are kept and the
+        retry waits out the next TTL — a timeout must never flip a
+        Disallow host to allow-all. Only meaningful with
         a live source, so it engages on ``fetch_stage == "http"`` only;
         join-mode engines refresh via the stat-guarded dim re-read
         (``_load_robots``). The overlay is session-held: on resume it
@@ -335,6 +345,14 @@ class CrawlEngine:
         ttl_eff = F.lit(cfg.robots_expiry) + (F.crc32("host") % F.lit(spread))
         stale = eff.filter(F.lit(now) - F.col("fetched_ts") >= ttl_eff)
         if stale.limit(1).count() == 0:
+            # nothing to refetch — but if _load_robots RE-READ the dim
+            # since the overlay was last folded in, self.robots is the
+            # raw file frame and the fresher wire-fetched rules must be
+            # re-applied (round-5 review, second pass: a dim touch
+            # would silently regress overlaid hosts to stale rules)
+            if ov is not None and self._robots_overlay_stat != self._robots_stat:
+                self.robots = eff.localCheckpoint()
+                self._robots_overlay_stat = self._robots_stat
             return
         spec, arg = cfg.http_transport, cfg.http_transport_arg
         timeout, max_r = cfg.http_timeout, cfg.max_redirects
@@ -393,6 +411,7 @@ class CrawlEngine:
         self.robots = (
             eff.join(fresh.select("host"), "host", "left_anti").unionByName(fresh)
         ).localCheckpoint()
+        self._robots_overlay_stat = self._robots_stat
 
     def _load_projects(self) -> bool:
         """(Re)read the projects dim — hot-reload analog of
@@ -1166,7 +1185,11 @@ class CrawlEngine:
             # later revert to the old content would 304 against a
             # stored result that no longer matches — round-5 review);
             # a 304/failed/join-path row carries the stored pair.
-            (F.col("code") == 200).alias("validators_fresh"),
+            # proc_ok is required too (round-5 review, second pass): a
+            # 200 whose HANDLER raised stores no result, so storing
+            # its validators would let the retry 304 and settle
+            # SUCCESS against the previous, now-stale stored result.
+            ((F.col("code") == 200) & is_ok).alias("validators_fresh"),
             F.when(
                 F.col("code") == 200,
                 F.get_json_object("fetch_headers", "$.etag"),

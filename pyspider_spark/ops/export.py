@@ -117,9 +117,13 @@ def export_corpus(
         # final join: a long-lived session must not accumulate cached
         # partitions per call (round-4 advice), and checkpointing the
         # full text corpus into executor block storage would double
-        # storage and make the returned frame unrecoverable on
-        # executor loss (round-5 review). Cost: the caller's write
-        # action streams ONE more analyze pass over the text.
+        # storage (round-5 review). Caveat: localCheckpoint blocks are
+        # executor-held, so losing an executor holding `canon`'s
+        # blocks before the caller's action still fails that action —
+        # the slimming removes the storage-doubling cost, not the
+        # executor-loss exposure (which a keys-only table keeps small
+        # and cheap to re-run). Cost: the caller's write action
+        # streams ONE more analyze pass over the text.
         out = out.persist()
         try:
             fps = out.select(F.col(key_col).alias("doc_id"), "simhash")

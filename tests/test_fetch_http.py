@@ -669,6 +669,14 @@ def recording_server():
                         [("ETag", '"c1"'),
                          ("Last-Modified", "Mon, 01 Jan 2026 00:00:00 GMT")],
                     )
+            elif self.path == "/cond3":
+                # 200 + validator toward a callback that RAISES: the
+                # validators must NOT be stored (no result was stored,
+                # so a later 304 would resurrect the wrong result)
+                self._reply(
+                    200, b"<body><p>handler will raise</p></body>",
+                    [("ETag", '"s1"')],
+                )
             elif self.path == "/cond2":
                 # first hit: 200 + validator; later hits: the content
                 # changed and the server stopped sending validators —
@@ -715,6 +723,7 @@ def test_engine_rounds_post_and_conditional_refetch(
             (f"{base}/form", "test_project", "post_form", False, -1.0),
             (f"{base}/cond", "test_project", "detail_page", True, 0.0),
             (f"{base}/cond2", "test_project", "detail_page", True, 0.0),
+            (f"{base}/cond3", "test_project", "strict_page", False, -1.0),
         ],
         "url string, project string, callback string, auto_recrawl boolean, age double",
     )
@@ -752,10 +761,10 @@ def test_engine_rounds_post_and_conditional_refetch(
     assert conds[1][2].get("If-None-Match") == '"c1"'
     assert conds[1][2].get("If-Modified-Since", "").startswith("Mon, 01 Jan 2026")
 
-    # both rounds settled every row ok (no retries/failures): round 0 =
-    # 3 seeds + test_project's tick-0 cron row; round 1 = the 304 row
-    # plus the changed /cond2 re-crawl
-    assert ms[0]["ok"] == 4 and ms[0]["failed"] == 0
+    # round 0 = 3 ok seeds + test_project's tick-0 cron row, plus the
+    # strict_page processor failure; round 1 = the 304 row plus the
+    # changed /cond2 re-crawl (/cond3's retry waits out its delay)
+    assert ms[0]["ok"] == 4 and ms[0]["failed"] == 1
     assert ms[1]["ok"] == 2 and ms[1]["failed"] == 0
 
     # frontier keeps the validator and the row stays SUCCESS-crawled
@@ -775,6 +784,12 @@ def test_engine_rounds_post_and_conditional_refetch(
     assert cond2[1][2].get("If-None-Match") == '"x1"'
     assert fr[f"{base}/cond2"]["etag"] is None
     assert fr[f"{base}/cond2"]["last_modified"] is None
+
+    # /cond3's 200 carried ETag "s1" but the handler RAISED — no
+    # result was stored, so the validators must not be stored either
+    # (round-5 review, second pass: a stored validator would let the
+    # retry 304 and settle SUCCESS against a nonexistent result)
+    assert fr[f"{base}/cond3"]["etag"] is None
 
     # the 304 emitted NO new result row: exactly one result per url
     man = eng.snap.read_manifest()

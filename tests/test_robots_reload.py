@@ -194,6 +194,20 @@ def test_robots_ttl_expiry_refetches_live(spark, tmp_path):
     assert len(robots_gets) == 1  # exactly one TTL refetch, at round 3
     fr = {r["url"]: r for r in eng.frontier().collect()}
     assert fr[f"{base}/p/0"]["status"] == BAD  # blocked row settled BAD
+
+    # a dim-file touch must NOT regress the overlaid wire rules
+    # (round-5 review, second pass): rewrite robots.parquet (stat
+    # change, same stale content) and force-recrawl — the refetched
+    # Disallow still applies, with no second wire fetch (overlay is
+    # fresh at round 4)
+    pq.write_table(robots, str(tmp_path / "robots.parquet"))
+    recrawl = spark.createDataFrame(
+        [(f"{base}/p/0", "test_project", True)],
+        "url string, project string, force_update boolean",
+    )
+    m4 = eng.run_rounds(1, inject_at={4: recrawl})[0]
+    assert m4["robots_blocked"] == 1 and m4["ok"] == 0
+    assert len(robots_gets) == 1  # overlay served; no refetch
     srv.shutdown()
 
 
