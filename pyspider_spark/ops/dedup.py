@@ -37,9 +37,10 @@ from pyspark.sql import DataFrame
 
 N_HASHES = 8
 N_BANDS = 2  # rows per band r = N_HASHES / N_BANDS = 4
+SHINGLE_N = 3  # shingle width; docs under SHINGLE_N tokens have no grams
 
 
-def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+def shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     """Distinct n-word shingles per doc: (doc_id, gram).
 
     Tokenization matches the contract's ``_tok_cte`` exactly (lower,
@@ -361,9 +362,52 @@ def dedup_corpus(
     max_band_width: int | None = None,
 ) -> DataFrame:
     """Keep-assignment for the whole corpus via MinHash near-dup
-    edges: (doc_id, dup_of) — see :func:`min_label_components`."""
-    edges = verified_pairs(docs, threshold, max_band_width)
-    return min_label_components(docs.select("doc_id"), edges, max_iter)
+    edges: (doc_id, dup_of) — see :func:`min_label_components`.
+
+    Exact-copy collapse (round-5, the simhash_keep_table trick applied
+    to the MinHash path): identical texts share their entire gram set,
+    so a mirrored-boilerplate cluster of M copies used to flood every
+    band with M rows (C(M,2) candidates AND verify-join rows).
+    Banding now runs over ONE representative per distinct md5(text)
+    among GRAM-BEARING docs (≥ SHINGLE_N tokens — exactly the docs
+    :func:`shingles` emits grams for), and members inherit the
+    representative's component label. Output is provably unchanged:
+    identical gram-bearing texts are Jaccard-1.0 pairs (≥ any
+    threshold ≤ 1) so they were always one component, and the
+    representative IS the group's min doc_id, so component minima are
+    identical. Sub-SHINGLE_N and NULL texts never produce grams, never
+    pair, and stay singletons — exactly as before (two identical
+    "hi there" docs each keep themselves, matching the pairwise
+    oracle)."""
+    ntok = F.size(F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: t != ""))
+    base = docs.select("doc_id", "text").withColumn(
+        "_collapsible", F.col("text").isNotNull() & (ntok >= SHINGLE_N)
+    )
+    collapsible = base.filter(F.col("_collapsible")).withColumn(
+        "_th", F.md5("text")
+    )
+    reps = collapsible.groupBy("_th").agg(
+        F.min("doc_id").alias("doc_id"), F.first("text").alias("text")
+    )
+    edges = verified_pairs(
+        reps.select("doc_id", "text"), threshold, max_band_width
+    )
+    rep_keep = min_label_components(reps.select("doc_id"), edges, max_iter)
+    expanded = (
+        collapsible.select("doc_id", "_th")
+        .join(reps.select("_th", F.col("doc_id").alias("_rep")), "_th")
+        .join(rep_keep.select(F.col("doc_id").alias("_rep"), "dup_of"), "_rep")
+        .select("doc_id", "dup_of")
+    )
+    return (
+        docs.select("doc_id")
+        .join(
+            expanded.withColumnRenamed("doc_id", "_d"),
+            F.col("doc_id") == F.col("_d"),
+            "left",
+        )
+        .select("doc_id", F.coalesce("dup_of", F.col("doc_id")).alias("dup_of"))
+    )
 
 
 def simhash_keep_table(

@@ -310,6 +310,30 @@ def test_simhash_max_band_width_guard(spark):
     assert (7, 100, 1) in g2
 
 
+def test_dedup_corpus_identical_cluster_is_linear(spark):
+    """Round-5: the MinHash keep path collapses identical texts to one
+    representative before banding (the simhash_keep_table trick) — a
+    10 000-exact-copy cluster costs O(M), where the uncollapsed band
+    join would emit C(10k,2) candidate AND verify rows and this test
+    would not finish. Sub-shingle identical texts stay singletons
+    (they produce no grams — pinned pairwise-oracle semantics)."""
+    n = 10_000
+    rows = [(i, BASE) for i in range(1, n + 1)]
+    rows += [
+        (n + 1, BASE + " with one extra tail phrase added"),
+        (20001, "hi there"),  # 2 tokens < SHINGLE_N
+        (20002, "hi there"),
+        (30000, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["dup_of"] for r in dedup_corpus(docs, 0.5).collect()}
+    assert len(out) == n + 4
+    assert all(out[i] == 1 for i in range(1, n + 1))
+    assert out[n + 1] in (1, n + 1)  # near-dup joins iff its pair verified
+    assert out[20001] == 20001 and out[20002] == 20002
+    assert out[30000] == 30000
+
+
 def test_exact_dedup_ignores_null_text(spark):
     """Review r4: md5(NULL) is NULL — null-text docs must not collapse
     into one fake 'duplicate' cluster."""
