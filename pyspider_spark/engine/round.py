@@ -333,7 +333,25 @@ class CrawlEngine:
         eff = eff.select("host", "robots_txt", "fetched_ts", "robots_url")
         ov = self._robots_overlay
         if ov is not None:
-            eff = eff.join(ov.select("host"), "host", "left_anti").unionByName(ov)
+            # per-host NEWEST-wins resolve (round-5 review, third
+            # pass): the overlay must not unconditionally shadow the
+            # dim — an operator-regenerated dim row with a FRESHER
+            # fetched_ts (new rules pushed ahead of the live server)
+            # beats an older wire fetch; on an exact timestamp tie the
+            # overlay (session-fresher) wins via the _src tiebreak.
+            from pyspark.sql import Window
+
+            both = eff.withColumn("_src", F.lit(0)).unionByName(
+                ov.withColumn("_src", F.lit(1))
+            )
+            w = Window.partitionBy("host").orderBy(
+                F.desc("fetched_ts"), F.desc("_src")
+            )
+            eff = (
+                both.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn", "_src")
+            )
         # deterministic per-host expiry SPREAD (round-5 review): a dim
         # whose rows share one fetched_ts (e.g. the t0 default) would
         # otherwise go stale in lockstep — the whole dim refetched in

@@ -40,6 +40,16 @@ N_BANDS = 2  # rows per band r = N_HASHES / N_BANDS = 4
 SHINGLE_N = 3  # shingle width; docs under SHINGLE_N tokens have no grams
 
 
+def _tok_expr():
+    """THE tokenizer (lower → split on non-alnum → drop empties),
+    matching the contract's ``_tok_cte`` exactly. Shared by
+    :func:`shingles` and :func:`dedup_corpus`'s collapsibility
+    predicate — they MUST agree: a doc counted "collapsible" that
+    emits no grams would let identical sub-gram copies wrongly
+    collapse (the pairwise oracle keeps them singletons)."""
+    return F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: t != "")
+
+
 def shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     """Distinct n-word shingles per doc: (doc_id, gram).
 
@@ -47,7 +57,7 @@ def shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     split on non-alnum, drop empties) so the same text yields the same
     gram set in Spark and the DuckDB oracle.
     """
-    toks = F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: t != "")
+    toks = _tok_expr()
     grams = F.when(
         F.size("toks") >= n,
         F.transform(
@@ -379,12 +389,10 @@ def dedup_corpus(
     pair, and stay singletons — exactly as before (two identical
     "hi there" docs each keep themselves, matching the pairwise
     oracle)."""
-    ntok = F.size(F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: t != ""))
-    base = docs.select("doc_id", "text").withColumn(
-        "_collapsible", F.col("text").isNotNull() & (ntok >= SHINGLE_N)
-    )
-    collapsible = base.filter(F.col("_collapsible")).withColumn(
-        "_th", F.md5("text")
+    collapsible = (
+        docs.select("doc_id", "text")
+        .filter(F.col("text").isNotNull() & (F.size(_tok_expr()) >= SHINGLE_N))
+        .withColumn("_th", F.md5("text"))
     )
     reps = collapsible.groupBy("_th").agg(
         F.min("doc_id").alias("doc_id"), F.first("text").alias("text")
@@ -393,11 +401,16 @@ def dedup_corpus(
         reps.select("doc_id", "text"), threshold, max_band_width
     )
     rep_keep = min_label_components(reps.select("doc_id"), edges, max_iter)
+    # reattach only actual DUPLICATES (dup_of != doc_id): the coalesce
+    # below maps every miss to itself, so self-keeper rows need not
+    # ride the joins — the reattach build side stays near-dup-sized,
+    # not corpus-sized (round-5 review, third pass)
     expanded = (
         collapsible.select("doc_id", "_th")
         .join(reps.select("_th", F.col("doc_id").alias("_rep")), "_th")
         .join(rep_keep.select(F.col("doc_id").alias("_rep"), "dup_of"), "_rep")
         .select("doc_id", "dup_of")
+        .filter(F.col("dup_of") != F.col("doc_id"))
     )
     return (
         docs.select("doc_id")
@@ -445,12 +458,15 @@ def simhash_keep_table(
         reps, bits=bits, max_hamming=max_hamming, max_band_width=max_band_width
     )
     rep_keep = min_label_components(reps.select("doc_id"), edges, max_iter)
+    # duplicates only (see dedup_corpus): self-keepers ride the final
+    # coalesce, keeping the reattach build side near-dup-sized
     expanded = (
         nn.join(reps.select("simhash", F.col("doc_id").alias("_rep")), "simhash")
         .join(
             rep_keep.select(F.col("doc_id").alias("_rep"), "dup_of"), "_rep"
         )
         .select("doc_id", "dup_of")
+        .filter(F.col("dup_of") != F.col("doc_id"))
     )
     return (
         base.select("doc_id")

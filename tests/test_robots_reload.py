@@ -208,6 +208,22 @@ def test_robots_ttl_expiry_refetches_live(spark, tmp_path):
     m4 = eng.run_rounds(1, inject_at={4: recrawl})[0]
     assert m4["robots_blocked"] == 1 and m4["ok"] == 0
     assert len(robots_gets) == 1  # overlay served; no refetch
+
+    # ...but a dim row FRESHER than the wire fetch wins (round-5
+    # review, third pass): an operator pushing new rules ahead of the
+    # live server must not be shadowed by an older overlay row
+    fresh_robots = pa.table(
+        {
+            "host": pa.array(["127.0.0.1"]),
+            "robots_txt": pa.array(["User-agent: *\nAllow: /"]),
+            "fetched_ts": pa.array([cfg.t0 + 100.0], pa.float64()),
+            "robots_url": pa.array([f"{base}/robots.txt"]),
+        }
+    )
+    pq.write_table(fresh_robots, str(tmp_path / "robots.parquet"))
+    m5 = eng.run_rounds(1, inject_at={5: recrawl})[0]
+    assert m5["robots_blocked"] == 0 and m5["ok"] == 1
+    assert len(robots_gets) == 1  # fresher dim row: no refetch either
     srv.shutdown()
 
 
