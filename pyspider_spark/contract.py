@@ -1545,6 +1545,154 @@ def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_corpus(_docs_aug_df(spark, sf_dir), threshold=0.5)
 
 
+def _duck_sig_chain(suffix: str, src: str) -> str:
+    """Suffixed duck-dialect tok→grams→sigs→bands CTE chain over an
+    arbitrary (doc_id, text) source — lets one oracle carry TWO
+    independent MinHash spines (the incremental gate's old corpus and
+    new batch). Signature/band definitions are byte-identical to
+    :func:`_duck_minhash_spine` / ops.dedup."""
+    sigs = ", ".join(
+        f"min(md5(concat('{s}|', gram))) AS s{s}" for s in _MINHASH_SEEDS
+    )
+    return f"""
+tok{suffix} AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks FROM {src}),
+grams{suffix} AS (
+  SELECT DISTINCT doc_id, u.gram AS gram FROM tok{suffix},
+  unnest(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+         i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2]))) AS u(gram)
+),
+sigs{suffix} AS (SELECT doc_id, {sigs} FROM grams{suffix} GROUP BY doc_id),
+bands{suffix} AS (
+  SELECT doc_id, 0 AS band_id, md5(concat(s0, s1, s2, s3)) AS band_key FROM sigs{suffix}
+  UNION ALL
+  SELECT doc_id, 1 AS band_id, md5(concat(s4, s5, s6, s7)) AS band_key FROM sigs{suffix}
+)"""
+
+
+def _duck_agree(a: str, b: str) -> str:
+    """Count of agreeing MinHash positions between aliased sig rows —
+    the duck twin of ops.dedup._sig_agree."""
+    return " + ".join(f"CAST({a}.s{i} = {b}.s{i} AS INT)" for i in _MINHASH_SEEDS)
+
+
+# Incremental dedup oracle: old corpus (doc_id % 3 != 0) is deduped by
+# the FULL exact-Jaccard pipeline (the persisted-state provenance);
+# the new batch (doc_id % 3 == 0) is then deduped against the old
+# KEEPERS' signatures by band collision + >= 4/8 signature agreement
+# (stage 1, min matching keeper), and the unabsorbed remainder against
+# itself by the same rule via recursive-CTE components (stage 2).
+ORACLE_DEDUP_INCREMENTAL = f"""
+WITH RECURSIVE {DOCS_AUG_CTE},
+old_docs AS (SELECT doc_id, text FROM docs_aug WHERE doc_id % 3 <> 0),
+new_docs AS (SELECT doc_id, text FROM docs_aug WHERE doc_id % 3 = 0),
+{_duck_sig_chain('_o', 'old_docs')},
+cand_o AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands_o a JOIN bands_o b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+gc_o AS (SELECT doc_id, count(*) AS n FROM grams_o GROUP BY doc_id),
+inter_o AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand_o c
+  JOIN grams_o ga ON ga.doc_id = c.doc_a
+  JOIN grams_o gb ON gb.doc_id = c.doc_b AND gb.gram = ga.gram
+  GROUP BY c.doc_a, c.doc_b
+),
+vp_o AS (
+  SELECT doc_a, doc_b
+  FROM inter_o
+  JOIN gc_o ga ON doc_a = ga.doc_id JOIN gc_o gb ON doc_b = gb.doc_id
+  WHERE round(CAST(inter AS DOUBLE) / (ga.n + gb.n - inter), 6) >= 0.5
+),
+edges_o AS (
+  SELECT doc_a AS src, doc_b AS dst FROM vp_o
+  UNION ALL SELECT doc_b, doc_a FROM vp_o
+),
+walk_o(doc_id, lbl) AS (
+  SELECT doc_id, doc_id FROM old_docs
+  UNION
+  SELECT e.dst, w.lbl FROM walk_o w JOIN edges_o e ON e.src = w.doc_id
+),
+old_keep AS (SELECT doc_id, min(lbl) AS dup_of FROM walk_o GROUP BY doc_id),
+state_sigs AS (
+  SELECT s.* FROM sigs_o s
+  JOIN old_keep k ON k.doc_id = s.doc_id AND k.dup_of = k.doc_id
+),
+state_bands AS (
+  SELECT b.* FROM bands_o b JOIN state_sigs s ON s.doc_id = b.doc_id
+),
+{_duck_sig_chain('_n', 'new_docs')},
+cand1 AS (
+  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+  FROM bands_n n JOIN state_bands o
+    ON n.band_id = o.band_id AND n.band_key = o.band_key
+),
+stage1 AS (
+  SELECT c.new_id AS doc_id, min(c.old_id) AS dup_of
+  FROM cand1 c
+  JOIN sigs_n sn ON sn.doc_id = c.new_id
+  JOIN state_sigs so ON so.doc_id = c.old_id
+  WHERE {_duck_agree('sn', 'so')} >= 4
+  GROUP BY c.new_id
+),
+rest AS (
+  SELECT doc_id FROM sigs_n
+  WHERE doc_id NOT IN (SELECT doc_id FROM stage1)
+),
+cand2 AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands_n a
+  JOIN bands_n b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  JOIN rest ra ON ra.doc_id = a.doc_id
+  JOIN rest rb ON rb.doc_id = b.doc_id
+),
+agree2 AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand2 c
+  JOIN sigs_n sa ON sa.doc_id = c.doc_a
+  JOIN sigs_n sb ON sb.doc_id = c.doc_b
+  WHERE {_duck_agree('sa', 'sb')} >= 4
+),
+edges_n AS (
+  SELECT doc_a AS src, doc_b AS dst FROM agree2
+  UNION ALL SELECT doc_b, doc_a FROM agree2
+),
+walk_n(doc_id, lbl) AS (
+  SELECT doc_id, doc_id FROM rest
+  UNION
+  SELECT e.dst, w.lbl FROM walk_n w JOIN edges_n e ON e.src = w.doc_id
+),
+comp AS (SELECT doc_id, min(lbl) AS dup_of FROM walk_n GROUP BY doc_id)
+SELECT n.doc_id, coalesce(s.dup_of, c.dup_of, n.doc_id) AS dup_of
+FROM new_docs n
+LEFT JOIN stage1 s ON s.doc_id = n.doc_id
+LEFT JOIN comp c ON c.doc_id = n.doc_id
+"""
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-incremental dedup (ops/dedup.dedup_incremental): the old
+    corpus (doc_id % 3 != 0) is deduped once by the full exact-Jaccard
+    pipeline and reduced to its keepers' SIGNATURE table — the state a
+    continuously-crawling pipeline persists; the new batch
+    (doc_id % 3 == 0) is deduped against that state (band collision +
+    signature agreement, min matching keeper) and then against itself,
+    without ever rereading old texts."""
+    from pyspider_spark.ops.dedup import (
+        dedup_corpus,
+        dedup_incremental,
+        keeper_signatures,
+    )
+
+    docs = _docs_aug_df(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    state = keeper_signatures(old, dedup_corpus(old, threshold=0.5))
+    return dedup_incremental(new, state)
+
+
 def _md5_half(d: str, expr: str, start: int) -> str:
     """32-bit hash from md5 hex chars [start, start+8) as BIGINT —
     two disjoint halves give a portable 64-bit token hash without any
@@ -2438,6 +2586,7 @@ CUSTOM: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     "crawl_url_canon": (q_url_canon, ORACLE_URL_CANON),
     "dedup_minhash_pairs": (q_dedup_minhash_pairs, ORACLE_DEDUP_PAIRS),
     "dedup_corpus_keep": (q_dedup_corpus, ORACLE_DEDUP_CORPUS),
+    "dedup_incremental": (q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL),
     "sim_near_dup_pairs": (q_near_dup_pairs, _sql_near_dup_vec("duck")),
     "dedup_embedding_keep": (q_embedding_keep, _sql_embedding_keep("duck")),
     "sim_lsh_near_dup": (q_lsh_near_dup, _sql_lsh_near_dup("duck")),

@@ -423,6 +423,179 @@ def dedup_corpus(
     )
 
 
+def keeper_signatures(docs: DataFrame, keep: DataFrame) -> DataFrame:
+    """MinHash signature state for a deduped corpus: (doc_id, s0..s7)
+    for every KEPT, gram-bearing doc (``keep`` is a (doc_id, dup_of)
+    table; kept ⇔ dup_of == doc_id). This is the state an incremental
+    pipeline persists between batches — signature-table-sized (9 short
+    columns per kept doc), never the texts: :func:`dedup_incremental`
+    dedups the next crawl batch against it without rescanning the
+    corpus. Sub-shingle / NULL texts yield no signature row (they can
+    never minhash-match anything)."""
+    keepers = keep.filter(F.col("dup_of") == F.col("doc_id")).select("doc_id")
+    return minhash_signatures(shingles(docs.join(keepers, "doc_id", "left_semi")))
+
+
+def _sig_agree(pa: str, pb: str, n_hashes: int = N_HASHES):
+    """Number of agreeing signature positions between two sig rows
+    whose columns are prefixed ``{pa}{i}`` / ``{pb}{i}`` —
+    k·(estimated Jaccard) of the underlying gram sets. Prefix-renamed
+    columns (not dataset aliases) because both sides share lineage
+    with the band tables they join through — a dataset-alias self-join
+    trips Spark's ambiguous-column check."""
+    cols = [
+        F.when(F.col(f"{pa}{i}") == F.col(f"{pb}{i}"), 1).otherwise(0)
+        for i in range(n_hashes)
+    ]
+    agree = cols[0]
+    for c in cols[1:]:
+        agree = agree + c
+    return agree
+
+
+def _prefixed_sigs(sigs: DataFrame, id_alias: str, prefix: str, n_hashes: int = N_HASHES) -> DataFrame:
+    return sigs.select(
+        F.col("doc_id").alias(id_alias),
+        *[F.col(f"s{i}").alias(f"{prefix}{i}") for i in range(n_hashes)],
+    )
+
+
+def dedup_incremental(
+    new_docs: DataFrame,
+    state_sigs: DataFrame,
+    min_sig_agree: int = 4,
+    max_iter: int = 20,
+    max_band_width: int | None = None,
+) -> DataFrame:
+    """Dedup ONE new batch against persisted corpus state — the op a
+    continuously-crawling pipeline runs every round: cost is
+    O(new batch + collisions), never O(corpus); old texts are never
+    read (the state is :func:`keeper_signatures`' signature table).
+
+    Returns (doc_id, dup_of) for every new doc:
+
+    - **stage 1 — absorb into the existing corpus**: a new doc whose
+      signature band-collides with an existing keeper's AND agrees on
+      ``min_sig_agree`` of the ``N_HASHES`` MinHash positions
+      (estimated Jaccard ≥ min_sig_agree/N_HASHES — signatures are all
+      the state carries, so the verify is signature-estimated here,
+      unlike the full-corpus path's exact-Jaccard) is a duplicate of
+      that keeper: dup_of = the minimum matching keeper id
+      (deterministic under multiple matches). Absorbed docs are
+      dropped from the batch — they add nothing to the corpus.
+    - **stage 2 — dedup the remainder among itself**: unabsorbed docs
+      pair by the same band + signature-agreement rule and collapse
+      via min-label components, exactly like :func:`dedup_corpus`.
+      A doc near-dup of an *absorbed* doc but not itself colliding
+      with the keeper stays kept — the bounded transitivity loss every
+      threshold-incremental dedup accepts (arrival-order batching cuts
+      chains the one-shot pass would have walked).
+    - sub-shingle / NULL texts have no signature and stay singletons.
+
+    The next batch's state is ``state_sigs ∪ keeper_signatures(
+    new_docs, result)`` — both sides signature-table-sized.
+
+    Exact-copy collapse (the :func:`dedup_corpus` trick): banding and
+    matching run over ONE representative per distinct md5(text) among
+    gram-bearing new docs; members inherit the representative's
+    verdict. Output-invariant — identical texts carry identical
+    signatures, so they band/agree identically, and the
+    representative IS the group minimum. ``max_band_width`` bounds
+    residual hot bands in BOTH the state join and the self-join
+    (band widths measured over the union, so a band hot on either
+    side is dropped from both).
+
+    100 TB shape: the batch side is small (one crawl round), so the
+    state join broadcasts the batch's band table and the corpus-sized
+    state STREAMS through its scan — no corpus-side shuffle (AQE picks
+    this automatically under the broadcast threshold). Past the
+    broadcast bound, persist the state as a band table bucketed by
+    band_key (engine/ingest.py's layout, applied to state) so the join
+    co-locates — the same broadcast→bucketed escalation as the fetch
+    join. Per-batch cost is O(batch + collisions) either way; old
+    texts are never read."""
+    collapsible = (
+        new_docs.select("doc_id", "text")
+        .filter(F.col("text").isNotNull() & (F.size(_tok_expr()) >= SHINGLE_N))
+        .withColumn("_th", F.md5("text"))
+    )
+    reps = collapsible.groupBy("_th").agg(
+        F.min("doc_id").alias("doc_id"), F.first("text").alias("text")
+    )
+    rep_sigs = minhash_signatures(shingles(reps.select("doc_id", "text"))).localCheckpoint()
+
+    nb = band_keys(rep_sigs)
+    ob = band_keys(state_sigs)
+    if max_band_width is not None:
+        u = nb.unionByName(ob)
+        w = u.groupBy("band_id", "band_key").count()
+        ok = w.filter(F.col("count") <= max_band_width).select("band_id", "band_key")
+        nb = nb.join(ok, ["band_id", "band_key"])
+        ob = ob.join(ok, ["band_id", "band_key"])
+
+    # stage 1: new-rep × state-keeper band collisions, sig-agreement
+    # verified, min matching keeper wins
+    cand1 = (
+        nb.alias("n")
+        .join(ob.alias("o"), ["band_id", "band_key"])
+        .select(
+            F.col("n.doc_id").alias("new_id"), F.col("o.doc_id").alias("old_id")
+        )
+        .distinct()
+    )
+    stage1 = (
+        cand1.join(_prefixed_sigs(rep_sigs, "new_id", "_n"), "new_id")
+        .join(_prefixed_sigs(state_sigs, "old_id", "_o"), "old_id")
+        .filter(_sig_agree("_n", "_o") >= min_sig_agree)
+        .groupBy("new_id")
+        .agg(F.min("old_id").alias("dup_of"))
+        .select(F.col("new_id").alias("doc_id"), "dup_of")
+        .localCheckpoint()
+    )
+
+    # stage 2: the unabsorbed remainder, same rule against itself
+    rest_sigs = rep_sigs.join(stage1, "doc_id", "left_anti")
+    rb = nb.join(stage1.select("doc_id"), "doc_id", "left_anti")
+    ra, rb2 = rb.alias("a"), rb.alias("b")
+    cand2 = (
+        ra.join(
+            rb2,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    edges = (
+        cand2.join(_prefixed_sigs(rest_sigs, "doc_a", "_a"), "doc_a")
+        .join(_prefixed_sigs(rest_sigs, "doc_b", "_b"), "doc_b")
+        .filter(_sig_agree("_a", "_b") >= min_sig_agree)
+        .select("doc_a", "doc_b")
+    )
+    comp = min_label_components(rest_sigs.select("doc_id"), edges, max_iter)
+
+    # expand rep verdicts to exact-copy members; everything else (no
+    # grams) keeps itself
+    rep_keep = stage1.unionByName(comp).withColumnRenamed("doc_id", "_rep")
+    expanded = (
+        collapsible.select("doc_id", "_th")
+        .join(reps.select("_th", F.col("doc_id").alias("_rep")), "_th")
+        .join(rep_keep, "_rep")
+        .select("doc_id", "dup_of")
+        .filter(F.col("dup_of") != F.col("doc_id"))
+    )
+    return (
+        new_docs.select("doc_id")
+        .join(
+            expanded.withColumnRenamed("doc_id", "_d"),
+            F.col("doc_id") == F.col("_d"),
+            "left",
+        )
+        .select("doc_id", F.coalesce("dup_of", F.col("doc_id")).alias("dup_of"))
+    )
+
+
 def simhash_keep_table(
     fps: DataFrame,
     bits: int = 64,

@@ -346,3 +346,98 @@ def test_exact_dedup_ignores_null_text(spark):
     rows = exact_dedup(df).collect()
     assert len(rows) == 1
     assert (rows[0]["keeper"], rows[0]["n_copies"]) == (1, 2)
+
+
+# --- incremental dedup (ops/dedup.dedup_incremental) -------------------
+
+OTHER = (
+    "completely different text about spark dataframes and shuffle "
+    "partitions and catalyst optimizer rules for query planning"
+)
+
+
+def _state_for(spark, old_rows):
+    from pyspider_spark.ops.dedup import dedup_corpus, keeper_signatures
+
+    old = spark.createDataFrame(old_rows, "doc_id long, text string")
+    return keeper_signatures(old, dedup_corpus(old, 0.5))
+
+
+def test_dedup_incremental_absorb_and_self_dedup(spark):
+    """Stage 1: a new exact copy of an old keeper's text is absorbed
+    (identical text ⇒ identical signature ⇒ band collision + 8/8
+    agreement). Stage 2: new-only duplicates collapse among
+    themselves; sub-shingle and unique docs stay singletons."""
+    from pyspider_spark.ops.dedup import dedup_incremental
+
+    state = _state_for(spark, [(1, BASE), (2, BASE), (10, OTHER)])
+    new = spark.createDataFrame(
+        [
+            (101, BASE),  # copy of old keeper 1 → absorbed
+            (103, OTHER + " now with a fresh unique ending phrase"),
+            (104, "entirely novel content talking about bloom filters and cuckoo shadows at web scale"),
+            (105, "entirely novel content talking about bloom filters and cuckoo shadows at web scale"),
+            (106, "hi there"),  # < SHINGLE_N tokens → singleton
+            (107, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["dup_of"] for r in dedup_incremental(new, state).collect()}
+    assert out[101] == 1  # absorbed by the OLD keeper id, not a new one
+    assert out[104] == 104 and out[105] == 104  # new-only pair collapses
+    assert out[106] == 106 and out[107] == 107
+    # 103 is near OTHER but must map to either itself or old keeper 10,
+    # never to another new doc
+    assert out[103] in (103, 10)
+
+
+def test_dedup_incremental_two_batches(spark):
+    """The state-evolution loop: batch-2 state = batch-1 state ∪
+    keeper_signatures of batch-1's kept docs; a batch-2 copy of a
+    batch-1 keeper absorbs into it without any old text being read."""
+    from pyspider_spark.ops.dedup import dedup_incremental, keeper_signatures
+
+    state1 = _state_for(spark, [(1, BASE)])
+    b1 = spark.createDataFrame([(200, OTHER)], "doc_id long, text string")
+    keep1 = dedup_incremental(b1, state1)
+    state2 = state1.unionByName(keeper_signatures(b1, keep1))
+    b2 = spark.createDataFrame(
+        [(300, OTHER), (301, BASE)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["dup_of"] for r in dedup_incremental(b2, state2).collect()}
+    assert out[300] == 200  # absorbed by the batch-1 keeper
+    assert out[301] == 1  # absorbed by the original corpus keeper
+
+
+def test_dedup_incremental_identical_cluster_is_linear(spark):
+    """The exact-copy collapse holds on the incremental path too: a
+    10 000-identical-copy new batch costs O(M) (one representative
+    reaches banding), where the uncollapsed self-join would emit
+    C(10k,2) candidate rows and this test would not finish."""
+    from pyspider_spark.ops.dedup import dedup_incremental
+
+    state = _state_for(spark, [(1, OTHER)])
+    n = 10_000
+    rows = [(100_000 + i, BASE) for i in range(1, n + 1)]
+    new = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["dup_of"] for r in dedup_incremental(new, state).collect()}
+    assert len(out) == n
+    assert all(v == 100_001 for v in out.values())
+
+
+def test_dedup_incremental_hot_band_guard(spark):
+    """max_band_width drops bands hot across EITHER side of the state
+    join — near-identical-but-distinct mega-clusters stay bounded (the
+    recall-for-bound trade candidate_pairs pins)."""
+    from pyspider_spark.ops.dedup import dedup_incremental
+
+    state = _state_for(spark, [(1, BASE)])
+    new = spark.createDataFrame(
+        [(100 + i, BASE + f" variant tail number {i} token") for i in range(40)],
+        "doc_id long, text string",
+    )
+    # every variant shares band 0 (first 4 sigs dominated by BASE grams)
+    # with high probability; with a tiny width bound the op must still
+    # return one row per doc and never crash
+    out = dedup_incremental(new, state, max_band_width=2).collect()
+    assert len(out) == 40
