@@ -19,6 +19,13 @@ self-join whose candidate volume is bounded by band width, and
 component joins over near-dup edges only — no all-pairs anything.
 pyspider has no corpus dedup (its dedup is the URL-seen set); this is
 the training-data-pipeline surface the brief mandates on top.
+
+``--incremental`` switches to the per-round production mode: only
+urls not yet in the versioned ``--dedup-state`` are deduped, against
+the persisted keepers' fingerprints (ops/dedup.simhash_incremental);
+the state advances atomically (STATE.json os.replace) and a crashed
+run re-runs idempotently. O(batch) per round instead of re-deduping
+the whole corpus.
 """
 
 from __future__ import annotations
@@ -31,14 +38,13 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def keep_table(spark, results, pages=None):
-    """(url, dup_of, is_canonical) from a results DataFrame
-    (project, taskid, url, result-json, updatetime); ``pages`` is the
-    fallback text source when results carry no simhash."""
+def _latest_fps(spark, results, pages=None):
+    """(doc_id=url, simhash) fingerprints: latest crawl per url, from
+    the result JSON when the crawl ran with analysis on, otherwise
+    recomputed from the pages table's text through the same
+    ``analyze_text`` kernel."""
     import pyspark.sql.functions as F
     from pyspark.sql import Window
-
-    from pyspider_spark.ops.dedup import simhash_keep_table
 
     latest = (
         results.withColumn(
@@ -75,15 +81,107 @@ def keep_table(spark, results, pages=None):
             )
             .select("url", "simhash")
         )
-    fps = sh.filter(F.col("simhash").isNotNull()).select(
+    return sh.filter(F.col("simhash").isNotNull()).select(
         F.col("url").alias("doc_id"), "simhash"
     )
-    keep = simhash_keep_table(fps)
+
+
+def keep_table(spark, results, pages=None):
+    """(url, dup_of, is_canonical) from a results DataFrame
+    (project, taskid, url, result-json, updatetime); ``pages`` is the
+    fallback text source when results carry no simhash."""
+    import pyspark.sql.functions as F
+
+    from pyspider_spark.ops.dedup import simhash_keep_table
+
+    keep = simhash_keep_table(_latest_fps(spark, results, pages))
     return keep.select(
         F.col("doc_id").alias("url"),
         "dup_of",
         (F.col("dup_of") == F.col("doc_id")).alias("is_canonical"),
     )
+
+
+def _read_state(spark, state_dir):
+    """Current dedup-state version: (version, keep_df|None, fps_df|None)."""
+    p = os.path.join(state_dir, "STATE.json")
+    if not os.path.exists(p):
+        return 0, None, None
+    with open(p) as f:
+        v = int(json.load(f)["version"])
+    vd = os.path.join(state_dir, f"v{v:06d}")
+    return (
+        v,
+        spark.read.parquet(os.path.join(vd, "keep.parquet")),
+        spark.read.parquet(os.path.join(vd, "fps.parquet")),
+    )
+
+
+def incremental_keep(
+    spark, results, state_dir, pages=None, max_hamming=3
+):
+    """ONE incremental dedup batch over a growing crawl — the
+    production mode: urls not yet in the persisted dedup state are
+    fingerprint-deduped against the state keepers
+    (ops/dedup.simhash_incremental — band collision + exact hamming),
+    then the state advances one version atomically (versioned dirs +
+    STATE.json os.replace, the SnapshotStore commit pattern; a crash
+    mid-write leaves the previous version live and the re-run is
+    idempotent). Batch cost is O(new urls + collisions); prior rounds'
+    texts and fingerprints are never re-deduped.
+
+    Returns (keep_new, n_batch, n_dup): the batch's keep table and
+    counts. Re-crawls of already-deduped urls keep their original
+    assignment (the crawl's URL-seen set makes genuinely re-fetched
+    urls rare; a changed page that must be re-deduped is a delete +
+    re-add on the state, out of scope for the batch path)."""
+    import pyspark.sql.functions as F
+
+    from pyspider_spark.ops.dedup import simhash_incremental
+
+    os.makedirs(state_dir, exist_ok=True)
+    v, keep_old, fps_old = _read_state(spark, state_dir)
+    fps_all = _latest_fps(spark, results, pages)
+    batch = (
+        fps_all
+        if keep_old is None
+        else fps_all.join(
+            keep_old.select(F.col("url").alias("doc_id")), "doc_id", "left_anti"
+        )
+    )
+    state_fps = (
+        fps_old
+        if fps_old is not None
+        else spark.createDataFrame([], "doc_id string, simhash long")
+    )
+    keep_new = simhash_incremental(
+        batch, state_fps, bits=64, max_hamming=max_hamming
+    ).select(
+        F.col("doc_id").alias("url"),
+        "dup_of",
+        (F.col("dup_of") == F.col("doc_id")).alias("is_canonical"),
+    ).persist()
+    n_batch = keep_new.count()
+    n_dup = keep_new.filter(~F.col("is_canonical")).count()
+
+    new_keeper_fps = batch.join(
+        keep_new.filter(F.col("is_canonical")).select(
+            F.col("url").alias("doc_id")
+        ),
+        "doc_id",
+        "left_semi",
+    )
+    vd = os.path.join(state_dir, f"v{v + 1:06d}")
+    keep_all = keep_new if keep_old is None else keep_old.unionByName(keep_new)
+    fps_all_state = new_keeper_fps if fps_old is None else fps_old.unionByName(new_keeper_fps)
+    keep_all.write.mode("overwrite").parquet(os.path.join(vd, "keep.parquet"))
+    fps_all_state.write.mode("overwrite").parquet(os.path.join(vd, "fps.parquet"))
+    tmp = os.path.join(state_dir, "STATE.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"version": v + 1}, f)
+    os.replace(tmp, os.path.join(state_dir, "STATE.json"))
+    keep_new.unpersist()
+    return keep_new, n_batch, n_dup
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -92,6 +190,17 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--fixtures", default=None, help="fixtures dir (pages fallback)")
     ap.add_argument("--out", default=None, help="output dir (default <state>/keep)")
     ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument(
+        "--incremental",
+        action="store_true",
+        help="dedup only urls not yet in --dedup-state against the "
+        "persisted keeper fingerprints (O(batch), not O(corpus))",
+    )
+    ap.add_argument(
+        "--dedup-state",
+        default=None,
+        help="versioned incremental dedup state dir (default <state>/dedup_state)",
+    )
     args = ap.parse_args(argv)
 
     from pyspider_spark.engine.session import get_spark
@@ -111,6 +220,20 @@ def main(argv: list[str] | None = None) -> int:
     pages = None
     if args.fixtures:
         pages = spark.read.parquet(f"{args.fixtures.rstrip('/')}/pages.parquet")
+    if args.incremental:
+        sd = args.dedup_state or os.path.join(args.state, "dedup_state")
+        _, n_batch, n_dup = incremental_keep(spark, results, sd, pages)
+        print(
+            json.dumps(
+                {
+                    "batch": n_batch,
+                    "duplicates": n_dup,
+                    "canonical": n_batch - n_dup,
+                    "dedup_state": sd,
+                }
+            )
+        )
+        return 0
     keep = keep_table(spark, results, pages).persist()
     out = args.out or os.path.join(args.state, "keep")
     keep.write.mode("overwrite").parquet(out)

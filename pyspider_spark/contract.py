@@ -1792,6 +1792,92 @@ def q_simhash_near_dup64(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup(fps, bits=64, max_hamming=6)
 
 
+# Incremental SimHash dedup oracle: the corpus fingerprint table is
+# split (old = doc_id % 3 != 0); the old side is deduped by ALL-PAIRS
+# hamming <= 6 + recursive components (exact — the engine's banding
+# has full recall by pigeonhole), its keepers' fingerprints form the
+# state; new fingerprints within hamming 6 of a keeper absorb into the
+# min matching keeper (stage 1), the rest self-dedup (stage 2).
+ORACLE_SIMHASH_INCREMENTAL = f"""
+WITH RECURSIVE {_sql_simhash_fp('duck', 64)},
+fp_o AS (SELECT doc_id, simhash FROM fp WHERE doc_id % 3 <> 0),
+fp_n AS (SELECT doc_id, simhash FROM fp WHERE doc_id % 3 = 0),
+vp_o AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM fp_o a JOIN fp_o b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+),
+edges_o AS (
+  SELECT doc_a AS src, doc_b AS dst FROM vp_o
+  UNION ALL SELECT doc_b, doc_a FROM vp_o
+),
+walk_o(doc_id, lbl) AS (
+  SELECT doc_id, doc_id FROM fp_o
+  UNION
+  SELECT e.dst, w.lbl FROM walk_o w JOIN edges_o e ON e.src = w.doc_id
+),
+old_keep AS (SELECT doc_id, min(lbl) AS dup_of FROM walk_o GROUP BY doc_id),
+keepers AS (
+  SELECT f.doc_id, f.simhash FROM fp_o f
+  JOIN old_keep k ON k.doc_id = f.doc_id AND k.dup_of = k.doc_id
+),
+stage1 AS (
+  SELECT n.doc_id, min(k.doc_id) AS dup_of
+  FROM fp_n n JOIN keepers k
+    ON bit_count(xor(n.simhash, k.simhash)) <= 6
+  GROUP BY n.doc_id
+),
+rest AS (
+  SELECT doc_id, simhash FROM fp_n
+  WHERE doc_id NOT IN (SELECT doc_id FROM stage1)
+),
+vp_n AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM rest a JOIN rest b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+),
+edges_n AS (
+  SELECT doc_a AS src, doc_b AS dst FROM vp_n
+  UNION ALL SELECT doc_b, doc_a FROM vp_n
+),
+walk_n(doc_id, lbl) AS (
+  SELECT doc_id, doc_id FROM rest
+  UNION
+  SELECT e.dst, w.lbl FROM walk_n w JOIN edges_n e ON e.src = w.doc_id
+),
+comp AS (SELECT doc_id, min(lbl) AS dup_of FROM walk_n GROUP BY doc_id)
+SELECT n.doc_id, coalesce(s.dup_of, c.dup_of, n.doc_id) AS dup_of
+FROM fp_n n
+LEFT JOIN stage1 s ON s.doc_id = n.doc_id
+LEFT JOIN comp c ON c.doc_id = n.doc_id
+"""
+
+
+def q_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SimHash dedup (ops/dedup.simhash_incremental) —
+    the crawl-native incremental path: the old fingerprint split is
+    deduped once (simhash_keep_table, banding-exact) and reduced to
+    its keepers' (doc_id, simhash) state; the new split dedups
+    against that state by band collision + EXACT hamming verify, then
+    against itself. 64-bit signed fingerprints at max_hamming=6 — the
+    same arithmetic regime as the pairs64 gate."""
+    from pyspider_spark.ops.dedup import simhash_incremental, simhash_keep_table
+
+    register_views(spark, sf_dir)
+    fps = spark.sql(
+        f"WITH {_sql_simhash_fp('spark', 64)} SELECT doc_id, simhash FROM fp"
+    )
+    old = fps.filter(F.col("doc_id") % 3 != 0)
+    new = fps.filter(F.col("doc_id") % 3 == 0)
+    keep = simhash_keep_table(old, bits=64, max_hamming=6)
+    state = old.join(
+        keep.filter(F.col("dup_of") == F.col("doc_id")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    return simhash_incremental(new, state, bits=64, max_hamming=6)
+
+
 # Training-corpus export: the DuckDB oracle replicates the ENGINE
 # kernel `textstats.analyze_text` EXACTLY (token regex, the full
 # 21/16-word stopword lists, the 0.5/0.2/0.3 quality blend) plus the
@@ -2605,6 +2691,7 @@ CUSTOM: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     "crawl_merge_frontier": (q_merge_frontier, ORACLE_MERGE_FRONTIER),
     "dedup_simhash_pairs": (q_simhash_near_dup, ORACLE_SIMHASH_PAIRS),
     "dedup_simhash_pairs64": (q_simhash_near_dup64, ORACLE_SIMHASH_PAIRS64),
+    "dedup_simhash_incremental": (q_simhash_incremental, ORACLE_SIMHASH_INCREMENTAL),
     "corpus_export_shards": (q_corpus_export, ORACLE_CORPUS_EXPORT),
     "sim_ann_topk": (q_ann_topk, ORACLE_ANN_TOPK),
     "sim_ann_topk_ivf": (q_ann_topk_ivf, ORACLE_ANN_TOPK),

@@ -176,6 +176,29 @@ def verified_pairs(
     )
 
 
+def _fp_bands(fp: DataFrame, bits: int, n_bands: int) -> DataFrame:
+    """Pigeonhole bit-bands of a (doc_id, fp:long) table:
+    (doc_id, band_id, band_val). The last band takes the remainder
+    bits; masks never exceed 64 - shift, so the int64 sign-fill bits
+    of full-width fingerprints are always masked off (see
+    :func:`simhash_near_dup`)."""
+    width = bits // n_bands
+    bands = []
+    for b in range(n_bands):
+        lo = b * width
+        w = bits - lo if b == n_bands - 1 else width  # last takes remainder
+        if w >= 64:  # max_hamming=0 degenerate: the whole fp is the band
+            val = F.col("fp")
+        else:
+            val = F.shiftright("fp", lo).bitwiseAND(F.lit((1 << w) - 1))
+        bands.append(
+            F.struct(F.lit(b).alias("band_id"), val.alias("band_val"))
+        )
+    return fp.select(
+        "doc_id", F.explode(F.array(*bands)).alias("bb")
+    ).select("doc_id", "bb.band_id", "bb.band_val")
+
+
 def simhash_near_dup(
     fps: DataFrame,
     bits: int = 64,
@@ -208,22 +231,8 @@ def simhash_near_dup(
     non-negative (< 2^bits) — high garbage bits would alias bands.
     """
     n_bands = max_hamming + 1
-    width = bits // n_bands
     fp = fps.select(F.col("doc_id"), F.col(fp_col).cast("long").alias("fp"))
-    bands = []
-    for b in range(n_bands):
-        lo = b * width
-        w = bits - lo if b == n_bands - 1 else width  # last takes remainder
-        if w >= 64:  # max_hamming=0 degenerate: the whole fp is the band
-            val = F.col("fp")
-        else:
-            val = F.shiftright("fp", lo).bitwiseAND(F.lit((1 << w) - 1))
-        bands.append(
-            F.struct(F.lit(b).alias("band_id"), val.alias("band_val"))
-        )
-    bdf = fp.select(
-        "doc_id", F.explode(F.array(*bands)).alias("bb")
-    ).select("doc_id", "bb.band_id", "bb.band_val")
+    bdf = _fp_bands(fp, bits, n_bands)
     if max_band_width is not None:
         # hot-band guard (mirrors candidate_pairs' — round-4 verdict
         # "wrong" #1): a band value shared by more than max_band_width
@@ -638,6 +647,105 @@ def simhash_keep_table(
         .join(
             rep_keep.select(F.col("doc_id").alias("_rep"), "dup_of"), "_rep"
         )
+        .select("doc_id", "dup_of")
+        .filter(F.col("dup_of") != F.col("doc_id"))
+    )
+    return (
+        base.select("doc_id")
+        .join(
+            expanded.withColumnRenamed("doc_id", "_d"),
+            F.col("doc_id") == F.col("_d"),
+            "left",
+        )
+        .select("doc_id", F.coalesce("dup_of", F.col("doc_id")).alias("dup_of"))
+    )
+
+
+def simhash_incremental(
+    new_fps: DataFrame,
+    state_fps: DataFrame,
+    bits: int = 64,
+    max_hamming: int = 3,
+    max_iter: int = 20,
+    max_band_width: int | None = None,
+) -> DataFrame:
+    """Incremental SimHash dedup — the crawl-native twin of
+    :func:`dedup_incremental`: the engine already fingerprints every
+    page at settle (``analyze_text``), so each round's NEW pages
+    dedup against the historical corpus by fingerprint alone. State is
+    the kept docs' (doc_id, simhash) table — fingerprint-table-sized,
+    and since the fingerprint IS the full similarity evidence the
+    verify here is EXACT hamming (no signature estimation):
+
+    - **stage 1**: a new fingerprint within ``max_hamming`` of an
+      existing keeper's (found by pigeonhole band collision against
+      the state, verified by ``bit_count(fa ^ fb)``) is absorbed:
+      dup_of = min matching keeper (deterministic).
+    - **stage 2**: the unabsorbed remainder runs
+      :func:`simhash_near_dup` + min-label components among itself.
+    - NULL fingerprints stay singletons.
+
+    Exact-fingerprint collapse keeps identical-copy clusters O(M)
+    (one representative per distinct fp reaches banding; members
+    inherit). ``max_band_width`` bounds hot bands on BOTH sides of
+    the state join (widths measured over the union) and inside the
+    stage-2 self-join. Next batch's state = state ∪ kept new rows.
+    Same 100 TB shape as :func:`dedup_incremental`: batch bands
+    broadcast, the corpus-sized state streams; past the broadcast
+    bound persist the state banded/bucketed by band_val."""
+    n_bands = max_hamming + 1
+    base = new_fps.select("doc_id", F.col("simhash"))
+    nn = base.filter(F.col("simhash").isNotNull())
+    reps = nn.groupBy("simhash").agg(F.min("doc_id").alias("doc_id"))
+    rep_fp = reps.select("doc_id", F.col("simhash").cast("long").alias("fp"))
+    state = state_fps.filter(F.col("simhash").isNotNull()).select(
+        "doc_id", F.col("simhash").cast("long").alias("fp")
+    )
+    nb = _fp_bands(rep_fp, bits, n_bands)
+    ob = _fp_bands(state, bits, n_bands)
+    if max_band_width is not None:
+        u = nb.unionByName(ob)
+        w = u.groupBy("band_id", "band_val").count()
+        ok = w.filter(F.col("count") <= max_band_width).select("band_id", "band_val")
+        nb = nb.join(ok, ["band_id", "band_val"])
+        ob = ob.join(ok, ["band_id", "band_val"])
+    cand1 = (
+        nb.alias("n")
+        .join(ob.alias("o"), ["band_id", "band_val"])
+        .select(
+            F.col("n.doc_id").alias("new_id"), F.col("o.doc_id").alias("old_id")
+        )
+        .distinct()
+    )
+    stage1 = (
+        cand1.join(
+            rep_fp.select(F.col("doc_id").alias("new_id"), F.col("fp").alias("_fa")),
+            "new_id",
+        )
+        .join(
+            state.select(F.col("doc_id").alias("old_id"), F.col("fp").alias("_fb")),
+            "old_id",
+        )
+        .filter(F.expr("bit_count(_fa ^ _fb)") <= max_hamming)
+        .groupBy("new_id")
+        .agg(F.min("old_id").alias("dup_of"))
+        .select(F.col("new_id").alias("doc_id"), "dup_of")
+        .localCheckpoint()
+    )
+    rest = reps.join(stage1, "doc_id", "left_anti")
+    edges = simhash_near_dup(
+        rest.select("doc_id", "simhash"),
+        bits=bits,
+        max_hamming=max_hamming,
+        max_band_width=max_band_width,
+    )
+    comp = min_label_components(
+        rest.select("doc_id"), edges.select("doc_a", "doc_b"), max_iter
+    )
+    rep_keep = stage1.unionByName(comp).withColumnRenamed("doc_id", "_rep")
+    expanded = (
+        nn.join(reps.select("simhash", F.col("doc_id").alias("_rep")), "simhash")
+        .join(rep_keep, "_rep")
         .select("doc_id", "dup_of")
         .filter(F.col("dup_of") != F.col("doc_id"))
     )

@@ -441,3 +441,100 @@ def test_dedup_incremental_hot_band_guard(spark):
     # return one row per doc and never crash
     out = dedup_incremental(new, state, max_band_width=2).collect()
     assert len(out) == 40
+
+
+def test_simhash_incremental_absorb_and_self_dedup(spark):
+    """Crawl-native incremental path: a new fingerprint within the
+    hamming ball of an old keeper's absorbs into it (exact verify —
+    the fp IS the state); new-only clusters collapse among
+    themselves; NULL fingerprints stay singletons."""
+    from pyspider_spark.ops.dedup import simhash_incremental
+
+    state = spark.createDataFrame(
+        [(1, 0x0F0F0F0F), (10, 0x70000000)], "doc_id long, simhash long"
+    )
+    new = spark.createDataFrame(
+        [
+            (101, 0x0F0F0F0E),  # hamming 1 from keeper 1 → absorbed
+            (102, 0x0F0F0F0F),  # identical to keeper 1 → absorbed
+            (103, 0x55AA55AA),  # far from both keepers
+            (104, 0x55AA55AB),  # hamming 1 from 103 → new-only pair
+            (105, None),
+        ],
+        "doc_id long, simhash long",
+    )
+    out = {
+        r["doc_id"]: r["dup_of"]
+        for r in simhash_incremental(new, state, bits=32, max_hamming=3).collect()
+    }
+    assert out[101] == 1 and out[102] == 1
+    assert out[103] == 103 and out[104] == 103
+    assert out[105] == 105
+
+
+def test_simhash_incremental_identical_cluster_is_linear(spark):
+    """Exact-fp collapse on the incremental path: 10 000 identical
+    fingerprints reach banding as ONE representative (uncollapsed,
+    the state join and self-join would each emit O(M²) rows)."""
+    from pyspider_spark.ops.dedup import simhash_incremental
+
+    state = spark.createDataFrame([(1, 0x70000000)], "doc_id long, simhash long")
+    n = 10_000
+    new = spark.createDataFrame(
+        [(100_000 + i, 0x0F0F0F0F) for i in range(1, n + 1)],
+        "doc_id long, simhash long",
+    )
+    out = {
+        r["doc_id"]: r["dup_of"]
+        for r in simhash_incremental(new, state, bits=32, max_hamming=3).collect()
+    }
+    assert len(out) == n
+    assert all(v == 100_001 for v in out.values())
+
+
+def test_incremental_keep_job_state_evolution(spark, tmp_path):
+    """jobs/corpus_dedup.incremental_keep: batch 1 seeds the versioned
+    state; batch 2 dedups ONLY its new urls against the persisted
+    keeper fingerprints (a near-fp absorbs into the batch-1 keeper, a
+    re-crawled url is skipped); an immediately repeated run is
+    idempotent (empty batch, state version still advances atomically)."""
+    from jobs.corpus_dedup import _read_state, incremental_keep
+
+    sd = str(tmp_path / "dstate")
+
+    def res(url, simhash, t, taskid="t0"):
+        return ("p0", taskid, url, f'{{"simhash":{simhash}}}', t)
+
+    schema = "project string, taskid string, url string, result string, updatetime double"
+    b1 = spark.createDataFrame(
+        [res("http://a.ex/1", 7, 1.0), res("http://b.ex/1", 7, 1.0),
+         res("http://c.ex/1", 0x1F00000, 1.0)],
+        schema,
+    )
+    _, n1, d1 = incremental_keep(spark, b1, sd)
+    assert (n1, d1) == (3, 1)  # a/b identical fps → one dup
+    # batch 2 = cumulative results (the job reads ALL manifest results
+    # each run): only the new urls form the batch
+    b2 = b1.unionByName(
+        spark.createDataFrame(
+            [res("http://d.ex/1", 6, 2.0),  # hamming 1 from keeper a → absorbed
+             res("http://a.ex/1", 9999, 2.0, "t1"),  # re-crawl: skipped
+             res("http://e.ex/1", 0x1F00000 ^ (1 << 20), 2.0)],  # near c
+            schema,
+        )
+    )
+    _, n2, d2 = incremental_keep(spark, b2, sd)
+    assert (n2, d2) == (2, 2)
+    v, keep, fps = _read_state(spark, sd)
+    assert v == 2
+    out = {r["url"]: r["dup_of"] for r in keep.collect()}
+    assert out["http://d.ex/1"] == "http://a.ex/1"
+    assert out["http://e.ex/1"] == "http://c.ex/1"
+    assert out["http://a.ex/1"] == "http://a.ex/1"  # original assignment kept
+    # keeper fp state never holds absorbed urls
+    assert {r["doc_id"] for r in fps.collect()} == {"http://a.ex/1", "http://c.ex/1"}
+    # idempotent re-run: nothing new
+    _, n3, d3 = incremental_keep(spark, b2, sd)
+    assert (n3, d3) == (0, 0)
+    v3, keep3, _ = _read_state(spark, sd)
+    assert v3 == 3 and keep3.count() == 5
