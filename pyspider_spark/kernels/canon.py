@@ -26,8 +26,9 @@ def canonicalize(url: str) -> str:
     """Canonical form of ``url``; returns '' for unusable urls.
 
     data: urls pass through untouched (S8 — they carry payload, not
-    location). Non-http(s) schemes other than data: are returned
-    lowercased-scheme but otherwise untouched.
+    location). Non-http(s) schemes other than data: are unusable for
+    the crawl and return '' (their rows are dropped at normalize, the
+    same as no-host/malformed urls).
     """
     if not url:
         return ""

@@ -6,7 +6,7 @@ URLs arrive continuously instead of in rounds.
 Same kernels, third execution mode (batch round / simulator /
 stream): the streaming seen gate keeps a **bloom-filter blob per
 bucket(host) partition as state-store state** — exactly the blob the
-batch engine ships by broadcast and commits to the manifest
+batch engine cogroups with the update batch by pid and commits to the manifest
 (``engine/seen.py``), here persisted/restored by the streaming
 checkpoint instead. State stays bounded at O(m_bits · n_partitions)
 regardless of stream length — the property that makes a URL-seen
