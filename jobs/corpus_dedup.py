@@ -134,7 +134,9 @@ def incremental_keep(
     counts. Re-crawls of already-deduped urls keep their original
     assignment (the crawl's URL-seen set makes genuinely re-fetched
     urls rare; a changed page that must be re-deduped is a delete +
-    re-add on the state, out of scope for the batch path)."""
+    re-add on the state, out of scope for the batch path). Single
+    writer per state dir, like the crawl's manifest — run it as the
+    per-round post-pass, not concurrently with itself."""
     import pyspark.sql.functions as F
 
     from pyspider_spark.ops.dedup import simhash_incremental

@@ -1864,9 +1864,12 @@ def q_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspider_spark.ops.dedup import simhash_incremental, simhash_keep_table
 
     register_views(spark, sf_dir)
+    # the 64-term fp chain is consumed many times downstream (reps,
+    # bands, verify, expand in BOTH keep_table and the incremental op)
+    # — materialize it once
     fps = spark.sql(
         f"WITH {_sql_simhash_fp('spark', 64)} SELECT doc_id, simhash FROM fp"
-    )
+    ).localCheckpoint()
     old = fps.filter(F.col("doc_id") % 3 != 0)
     new = fps.filter(F.col("doc_id") % 3 == 0)
     keep = simhash_keep_table(old, bits=64, max_hamming=6)

@@ -297,6 +297,11 @@ def min_label_components(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
         )
     ).localCheckpoint()
+    if e.limit(1).count() == 0:
+        # no edges — every node keeps itself; skip the loop's
+        # checkpoint/convergence actions entirely (the common case for
+        # incremental stage-2 batches where everything was absorbed)
+        return nodes.select("doc_id").withColumn("dup_of", F.col("doc_id"))
     # the loop runs ONLY over edge-connected nodes — everything else
     # keeps dup_of = doc_id and never enters a shuffle. At corpus
     # scale near-dup members are a few percent of docs, so iterations
