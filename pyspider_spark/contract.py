@@ -1444,6 +1444,95 @@ SELECT vec_id, min(lbl) AS dup_of FROM walk GROUP BY vec_id
 """
 
 
+# Incremental embedding dedup oracle: old vectors (vec_id % 3 != 0)
+# are deduped by the exact pairwise rule + recursive components, the
+# keepers' embeddings form the state; a new vector (vec_id % 3 == 0)
+# within round(cosine, 6) >= 0.5 of any keeper absorbs into the min
+# matching keeper (stage 1); the rest self-dedups (stage 2).
+def _sql_embedding_incremental(d: str) -> str:
+    xf = "transform" if d == "spark" else "list_transform"
+    return f"""
+WITH RECURSIVE {_vec_cte(d)},
+n0 AS (SELECT vec_id, ev, sqrt({_dot(d, 'ev', 'ev')}) AS nrm FROM e),
+n AS (SELECT vec_id, {xf}(ev, x -> x / nrm) AS nv FROM n0),
+old_v AS (SELECT vec_id, nv FROM n WHERE vec_id % 3 <> 0),
+new_v AS (SELECT vec_id, nv FROM n WHERE vec_id % 3 = 0),
+vp_o AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM old_v a JOIN old_v b ON a.vec_id < b.vec_id
+  WHERE round({_dot(d, 'a.nv', 'b.nv')}, 6) >= 0.5
+),
+edges_o AS (
+  SELECT vec_a AS src, vec_b AS dst FROM vp_o
+  UNION ALL SELECT vec_b, vec_a FROM vp_o
+),
+walk_o(vec_id, lbl) AS (
+  SELECT vec_id, vec_id FROM old_v
+  UNION
+  SELECT e2.dst, w.lbl FROM walk_o w JOIN edges_o e2 ON e2.src = w.vec_id
+),
+old_keep AS (SELECT vec_id, min(lbl) AS dup_of FROM walk_o GROUP BY vec_id),
+keepers AS (
+  SELECT o.vec_id, o.nv FROM old_v o
+  JOIN old_keep k ON k.vec_id = o.vec_id AND k.dup_of = k.vec_id
+),
+stage1 AS (
+  SELECT nn.vec_id, min(k.vec_id) AS dup_of
+  FROM new_v nn JOIN keepers k
+    ON round({_dot(d, 'nn.nv', 'k.nv')}, 6) >= 0.5
+  GROUP BY nn.vec_id
+),
+rest AS (
+  SELECT vec_id, nv FROM new_v
+  WHERE vec_id NOT IN (SELECT vec_id FROM stage1)
+),
+vp_n AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM rest a JOIN rest b ON a.vec_id < b.vec_id
+  WHERE round({_dot(d, 'a.nv', 'b.nv')}, 6) >= 0.5
+),
+edges_n AS (
+  SELECT vec_a AS src, vec_b AS dst FROM vp_n
+  UNION ALL SELECT vec_b, vec_a FROM vp_n
+),
+walk_n(vec_id, lbl) AS (
+  SELECT vec_id, vec_id FROM rest
+  UNION
+  SELECT e2.dst, w.lbl FROM walk_n w JOIN edges_n e2 ON e2.src = w.vec_id
+),
+comp AS (SELECT vec_id, min(lbl) AS dup_of FROM walk_n GROUP BY vec_id)
+SELECT nn.vec_id, coalesce(s.dup_of, c.dup_of, nn.vec_id) AS dup_of
+FROM new_v nn
+LEFT JOIN stage1 s ON s.vec_id = nn.vec_id
+LEFT JOIN comp c ON c.vec_id = nn.vec_id
+"""
+
+
+def q_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental embedding dedup (ops/similarity.
+    embedding_incremental): the old split is deduped once
+    (embedding_keep_table) and reduced to its keepers' embeddings —
+    the persisted state; the new split dedups against that state (the
+    batch matrix broadcasts, the state streams) and then against
+    itself, vs a two-stage recursive-CTE oracle."""
+    from pyspider_spark.ops.similarity import (
+        embedding_incremental,
+        embedding_keep_table,
+    )
+
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    old = emb.filter(F.col("vec_id") % 3 != 0)
+    new = emb.filter(F.col("vec_id") % 3 == 0)
+    keep = embedding_keep_table(spark, old, threshold=0.5)
+    state = old.join(
+        keep.filter(F.col("dup_of") == F.col("vec_id")).select("vec_id"),
+        "vec_id",
+        "left_semi",
+    )
+    return embedding_incremental(spark, new, state, threshold=0.5)
+
+
 def q_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RHP-bucketed near-dup engine op — the LSH-assign → per-bucket
     BLAS composition (the 10^8-vector plan); oracle mirrors the
@@ -2678,6 +2767,7 @@ CUSTOM: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     "dedup_incremental": (q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL),
     "sim_near_dup_pairs": (q_near_dup_pairs, _sql_near_dup_vec("duck")),
     "dedup_embedding_keep": (q_embedding_keep, _sql_embedding_keep("duck")),
+    "dedup_embedding_incremental": (q_embedding_incremental, _sql_embedding_incremental("duck")),
     "sim_lsh_near_dup": (q_lsh_near_dup, _sql_lsh_near_dup("duck")),
     "crawl_schedule_stateful": (
         q_schedule_stateful,

@@ -149,6 +149,9 @@ def _near_dup_broadcast(
     """Dim-table fast path (size-guarded by the caller): broadcast the
     normalized matrix, stream Arrow batches against it."""
     pdf_all = emb.select("vec_id", "embedding").toPandas()
+    if len(pdf_all) == 0:
+        # np.stack of zero arrays raises; an empty input has no pairs
+        return spark.createDataFrame([], PAIR_SCHEMA)
     ids_all = pdf_all["vec_id"].to_numpy(dtype=np.int64)
     bmat = _normalize(np.stack(pdf_all["embedding"].to_numpy()).astype(np.float64))
     bc = spark.sparkContext.broadcast((ids_all, bmat))
@@ -321,4 +324,144 @@ def embedding_keep_table(
     nodes = emb.select(F.col("vec_id").alias("doc_id"))
     return min_label_components(nodes, edges).select(
         F.col("doc_id").alias("vec_id"), F.col("dup_of")
+    )
+
+
+def _cross_pairs(
+    spark: SparkSession,
+    new_emb: DataFrame,
+    state_emb: DataFrame,
+    threshold: float,
+    cell_rows: int = _GRID_CELL_ROWS,
+    broadcast_max_rows: int = BROADCAST_MAX_ROWS,
+) -> DataFrame:
+    """(new_id, old_id, cosine) across two DISJOINT tables with
+    round(cosine, 6) >= threshold — the incremental state probe.
+
+    Fast path (the per-round common case): the NEW side is one crawl
+    batch and fits the broadcast guard — its normalized matrix
+    broadcasts and the corpus-sized state STREAMS through mapInPandas
+    with no shuffle at all. Past the guard, a two-sided block grid:
+    Bn x Bs cells, each one grouped-map task holding <= ~2*cell_rows
+    rows (new replicates Bs times, state Bn times — and Bn is small
+    whenever the batch is)."""
+    out_schema = "new_id bigint, old_id bigint, cosine double"
+    n_new = new_emb.count()
+    if n_new == 0:
+        return spark.createDataFrame([], out_schema)
+    if n_new <= broadcast_max_rows:
+        pdf_new = new_emb.select("vec_id", "embedding").toPandas()
+        ids_n = pdf_new["vec_id"].to_numpy(dtype=np.int64)
+        mat_n = _normalize(np.stack(pdf_new["embedding"].to_numpy()).astype(np.float64))
+        bc = spark.sparkContext.broadcast((ids_n, mat_n))
+
+        def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            ids_a, a = bc.value
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                b = _normalize(
+                    np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                )
+                ids_b = pdf["vec_id"].to_numpy(dtype=np.int64)
+                cos = np.round(a @ b.T, 6)
+                ii, jj = np.nonzero(cos >= threshold)
+                yield pd.DataFrame(
+                    {"new_id": ids_a[ii], "old_id": ids_b[jj], "cosine": cos[ii, jj]}
+                )
+
+        return state_emb.select("vec_id", "embedding").mapInPandas(fn, out_schema)
+
+    n_old = state_emb.count()
+    bn = max(1, min(4096, -(-n_new // cell_rows)))
+    bs = max(1, min(4096, -(-n_old // cell_rows)))
+    cells = spark.createDataFrame(
+        [(i, j) for i in range(bn) for j in range(bs)], "bi int, bj int"
+    )
+    new_t = (
+        new_emb.select("vec_id", "embedding")
+        .withColumn("_side", F.lit(0))
+        .withColumn("blk", F.pmod("vec_id", F.lit(bn)).cast("int"))
+        .join(F.broadcast(cells), F.col("blk") == F.col("bi"))
+    )
+    old_t = (
+        state_emb.select("vec_id", "embedding")
+        .withColumn("_side", F.lit(1))
+        .withColumn("blk", F.pmod("vec_id", F.lit(bs)).cast("int"))
+        .join(F.broadcast(cells), F.col("blk") == F.col("bj"))
+    )
+
+    def fn2(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        side = pdf["_side"].to_numpy()
+        a_mask = side == 0
+        if not a_mask.any() or a_mask.all():
+            return pd.DataFrame({"new_id": [], "old_id": [], "cosine": []})
+        mat = _normalize(np.stack(pdf["embedding"].to_numpy()).astype(np.float64))
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        cos = np.round(mat[a_mask] @ mat[~a_mask].T, 6)
+        ii, jj = np.nonzero(cos >= threshold)
+        return pd.DataFrame(
+            {
+                "new_id": ids[a_mask][ii],
+                "old_id": ids[~a_mask][jj],
+                "cosine": cos[ii, jj],
+            }
+        )
+
+    return (
+        new_t.unionByName(old_t)
+        .groupBy("bi", "bj")
+        .applyInPandas(fn2, out_schema)
+    )
+
+
+def embedding_incremental(
+    spark: SparkSession,
+    new_emb: DataFrame,
+    state_emb: DataFrame,
+    threshold: float = 0.9,
+    exact: bool = True,
+    n_planes: int = 4,
+    dim: int = 64,
+    cell_rows: int = _GRID_CELL_ROWS,
+) -> DataFrame:
+    """Incremental embedding-cosine dedup — the third incremental path
+    (MinHash signatures / SimHash fingerprints / embeddings): one
+    batch of new vectors dedups against the kept corpus' embedding
+    state without re-deduping the corpus.
+
+    - **stage 1**: a new vector with round(cosine, 6) >= threshold
+      against ANY state keeper (:func:`_cross_pairs` — batch matrix
+      broadcasts, state streams) is absorbed: dup_of = the minimum
+      matching keeper id.
+    - **stage 2**: the unabsorbed remainder runs
+      :func:`embedding_keep_table` among itself (exact grid by
+      default; RHP-bucketed for the 10^9+ path).
+
+    Returns (vec_id, dup_of) for every new vector; next batch's state
+    is state ∪ the kept new vectors' embeddings. Same bounded shapes
+    as the underlying ops; per-batch cost O(batch + state scan), and
+    the state scan carries no shuffle on the fast path."""
+    cross = _cross_pairs(spark, new_emb, state_emb, threshold, cell_rows)
+    stage1 = (
+        cross.groupBy("new_id")
+        .agg(F.min("old_id").alias("dup_of"))
+        .select(F.col("new_id").alias("vec_id"), "dup_of")
+        .localCheckpoint()
+    )
+    rest = new_emb.join(stage1.select("vec_id"), "vec_id", "left_anti")
+    comp = embedding_keep_table(
+        spark, rest, threshold, exact, n_planes, dim, cell_rows
+    )
+    assigned = stage1.unionByName(comp)
+    return (
+        new_emb.select("vec_id")
+        .join(
+            assigned.withColumnRenamed("vec_id", "_v"),
+            F.col("vec_id") == F.col("_v"),
+            "left",
+        )
+        .select(
+            "vec_id", F.coalesce("dup_of", F.col("vec_id")).alias("dup_of")
+        )
     )

@@ -115,3 +115,62 @@ def test_embedding_keep_table_collapses_duplicates(spark):
         ).collect()
     }
     assert out2 == out
+
+
+def test_embedding_incremental_absorb_and_self_dedup(spark):
+    """Stage 1 absorbs a new vector into the cosine-matching old
+    keeper (min keeper under multiple matches); stage 2 collapses
+    new-only clusters; isolated vectors keep themselves. Checked on
+    BOTH the broadcast fast path and the forced two-sided grid."""
+    from pyspider_spark.ops.similarity import _cross_pairs, embedding_incremental
+
+    d = 8
+
+    def row(i, base, eps=0.0):
+        v = [0.0] * d
+        v[base] = 1.0
+        v[(base + 1) % d] = eps
+        return (i, v)
+
+    state = spark.createDataFrame(
+        [row(1, 0), row(10, 2)], "vec_id long, embedding array<float>"
+    )
+    new = spark.createDataFrame(
+        [row(101, 0, 0.1),   # cosine ~0.995 vs keeper 1 → absorbed
+         row(103, 4), row(104, 4, 0.05),  # new-only pair
+         row(105, 6)],       # isolated
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r["vec_id"]: r["dup_of"]
+        for r in embedding_incremental(spark, new, state, threshold=0.9).collect()
+    }
+    assert out == {101: 1, 103: 103, 104: 103, 105: 105}
+    # the forced grid path scores the same cross pairs as broadcast
+    bc = {(r["new_id"], r["old_id"]) for r in _cross_pairs(spark, new, state, 0.9).collect()}
+    grid = {
+        (r["new_id"], r["old_id"])
+        for r in _cross_pairs(spark, new, state, 0.9, cell_rows=2, broadcast_max_rows=0).collect()
+    }
+    assert bc == grid == {(101, 1)}
+
+
+def test_embedding_incremental_all_absorbed_empty_rest(spark):
+    """Every new vector absorbed → stage-2 runs on an EMPTY table;
+    the broadcast kernel's empty guard must return no pairs instead
+    of crashing np.stack."""
+    from pyspider_spark.ops.similarity import embedding_incremental
+
+    d = 4
+    state = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    new = spark.createDataFrame(
+        [(101, [1.0, 0.01, 0.0, 0.0]), (102, [1.0, 0.0, 0.01, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r["vec_id"]: r["dup_of"]
+        for r in embedding_incremental(spark, new, state, threshold=0.9).collect()
+    }
+    assert out == {101: 1, 102: 1}
