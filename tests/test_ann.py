@@ -164,3 +164,52 @@ def test_ivf_probe_recall_on_planted_clusters(spark):
         key = (r["query_id"], r["vec_id"])
         if key in exc:
             assert abs(r["cosine"] - exc[key]) < 1e-9
+
+
+def test_ann_index_persist_and_query(spark, tmp_path):
+    """jobs/ann_index: build persists centroids + cent_id-partitioned
+    inverted lists (atomic INDEX.json commit); query partition-prunes
+    to the probed lists and returns ROW-IDENTICAL results to the
+    unpersisted IVF path."""
+    import json
+    import os
+
+    import pyspark.sql.functions as F
+
+    from jobs.ann_index import build_index, load_centroids, query_index
+    from pyspider_spark.ops.ann import ann_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = str(tmp_path / "ivf_idx")
+    meta = build_index(spark, emb, idx, n_centroids=8, n_iters=3)
+    assert meta["n_vectors"] == emb.count() and meta["n_centroids"] == 8
+    # partitioned inverted lists on disk
+    lists = [d for d in os.listdir(os.path.join(idx, "vectors.parquet")) if d.startswith("cent_id=")]
+    assert len(lists) >= 2
+
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    via_index = query_index(spark, idx, queries, k=5, nprobe=3)
+    cents = load_centroids(spark, idx)
+    direct = ann_topk(spark, emb, queries, k=5, centroids=cents, nprobe=3)
+    rows_i = sorted(map(tuple, via_index.collect()))
+    rows_d = sorted(map(tuple, direct.collect()))
+    assert rows_i == rows_d and len(rows_i) == 15
+
+    # the probe scan is partition-pruned: cent_id rides the plan's
+    # partition filters, not a post-scan row filter
+    with open(os.path.join(idx, "INDEX.json")) as f:
+        assert json.load(f)["dim"] == len(emb.first()["embedding"])
+    import numpy as np
+
+    from pyspider_spark.ops.similarity import _normalize
+
+    qmat = _normalize(np.stack([r["embedding"] for r in queries.collect()]).astype(np.float64))
+    order = np.argsort(-(qmat @ _normalize(cents.astype(np.float64)).T), axis=1, kind="stable")
+    probed = sorted({int(c) for row in order[:, :3] for c in row})
+    scan = spark.read.parquet(os.path.join(idx, "vectors.parquet")).filter(
+        F.col("cent_id").isin(probed)
+    )
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cent_id" in plan.split("PartitionFilters")[1][:200]
