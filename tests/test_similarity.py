@@ -174,3 +174,21 @@ def test_embedding_incremental_all_absorbed_empty_rest(spark):
         for r in embedding_incremental(spark, new, state, threshold=0.9).collect()
     }
     assert out == {101: 1, 102: 1}
+
+
+def test_cross_pairs_broadcast_path_no_shuffle(spark):
+    """The incremental state probe's headline scale property, pinned
+    at the plan level: on the fast path the batch matrix rides a
+    broadcast variable and the corpus-sized state STREAMS through
+    mapInPandas — the physical plan contains NO Exchange at all."""
+    from pyspider_spark.ops.similarity import _cross_pairs
+
+    state = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0, 0.0, 0.0]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    new = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    plan = _cross_pairs(spark, new, state, 0.9)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
