@@ -103,22 +103,25 @@ def keep_table(spark, results, pages=None):
 
 
 def _read_state(spark, state_dir):
-    """Current dedup-state version: (version, keep_df|None, fps_df|None)."""
+    """Current dedup-state version:
+    (version, keep_df|None, fps_df|None, processed result-dir rels)."""
     p = os.path.join(state_dir, "STATE.json")
     if not os.path.exists(p):
-        return 0, None, None
+        return 0, None, None, []
     with open(p) as f:
-        v = int(json.load(f)["version"])
+        meta = json.load(f)
+    v = int(meta["version"])
     vd = os.path.join(state_dir, f"v{v:06d}")
     return (
         v,
         spark.read.parquet(os.path.join(vd, "keep.parquet")),
         spark.read.parquet(os.path.join(vd, "fps.parquet")),
+        list(meta.get("processed", [])),
     )
 
 
 def incremental_keep(
-    spark, results, state_dir, pages=None, max_hamming=3
+    spark, results, state_dir, pages=None, max_hamming=3, processed_add=None
 ):
     """ONE incremental dedup batch over a growing crawl — the
     production mode: urls not yet in the persisted dedup state are
@@ -142,7 +145,7 @@ def incremental_keep(
     from pyspider_spark.ops.dedup import simhash_incremental
 
     os.makedirs(state_dir, exist_ok=True)
-    v, keep_old, fps_old = _read_state(spark, state_dir)
+    v, keep_old, fps_old, processed = _read_state(spark, state_dir)
     fps_all = _latest_fps(spark, results, pages)
     batch = (
         fps_all
@@ -180,7 +183,18 @@ def incremental_keep(
     fps_all_state.write.mode("overwrite").parquet(os.path.join(vd, "fps.parquet"))
     tmp = os.path.join(state_dir, "STATE.json.tmp")
     with open(tmp, "w") as f:
-        json.dump({"version": v + 1}, f)
+        json.dump(
+            {
+                "version": v + 1,
+                # result dirs folded into this state: the caller passes
+                # each manifest results dir ONCE, so every run scans
+                # only the new rounds' tables — O(batch) including the
+                # scan (the latest-per-url window runs over batch rows,
+                # never the whole results history)
+                "processed": sorted(set(processed) | set(processed_add or [])),
+            },
+            f,
+        )
     os.replace(tmp, os.path.join(state_dir, "STATE.json"))
     keep_new.unpersist()
     return keep_new, n_batch, n_dup
@@ -224,7 +238,17 @@ def main(argv: list[str] | None = None) -> int:
         pages = spark.read.parquet(f"{args.fixtures.rstrip('/')}/pages.parquet")
     if args.incremental:
         sd = args.dedup_state or os.path.join(args.state, "dedup_state")
-        _, n_batch, n_dup = incremental_keep(spark, results, sd, pages)
+        _, _, _, processed = _read_state(spark, sd)
+        fresh = [r for r in rels if r not in set(processed)]
+        if not fresh:
+            print(json.dumps({"batch": 0, "duplicates": 0, "canonical": 0,
+                              "dedup_state": sd, "new_dirs": 0}))
+            return 0
+        # scan ONLY the rounds not yet folded into the state
+        batch_results = spark.read.parquet(*[snap.abspath(r) for r in fresh])
+        _, n_batch, n_dup = incremental_keep(
+            spark, batch_results, sd, pages, processed_add=fresh
+        )
         print(
             json.dumps(
                 {
@@ -232,6 +256,7 @@ def main(argv: list[str] | None = None) -> int:
                     "duplicates": n_dup,
                     "canonical": n_batch - n_dup,
                     "dedup_state": sd,
+                    "new_dirs": len(fresh),
                 }
             )
         )

@@ -523,10 +523,10 @@ def test_incremental_keep_job_state_evolution(spark, tmp_path):
             schema,
         )
     )
-    _, n2, d2 = incremental_keep(spark, b2, sd)
+    _, n2, d2 = incremental_keep(spark, b2, sd, processed_add=["rounds/r2"])
     assert (n2, d2) == (2, 2)
-    v, keep, fps = _read_state(spark, sd)
-    assert v == 2
+    v, keep, fps, processed = _read_state(spark, sd)
+    assert v == 2 and processed == ["rounds/r2"]  # dir-watermark recorded
     out = {r["url"]: r["dup_of"] for r in keep.collect()}
     assert out["http://d.ex/1"] == "http://a.ex/1"
     assert out["http://e.ex/1"] == "http://c.ex/1"
@@ -534,7 +534,7 @@ def test_incremental_keep_job_state_evolution(spark, tmp_path):
     # keeper fp state never holds absorbed urls
     assert {r["doc_id"] for r in fps.collect()} == {"http://a.ex/1", "http://c.ex/1"}
     # idempotent re-run: nothing new
-    _, n3, d3 = incremental_keep(spark, b2, sd)
+    _, n3, d3 = incremental_keep(spark, b2, sd, processed_add=["rounds/r2"])
     assert (n3, d3) == (0, 0)
-    v3, keep3, _ = _read_state(spark, sd)
-    assert v3 == 3 and keep3.count() == 5
+    v3, keep3, _, p3 = _read_state(spark, sd)
+    assert v3 == 3 and keep3.count() == 5 and p3 == ["rounds/r2"]
