@@ -77,12 +77,52 @@ def build_index(
         "dim": dim,
         "n_vectors": int(emb.count()),
         "n_iters": int(n_iters),
+        # LSM-style segment list (the frontier-MoR pattern applied to
+        # the index): `add` appends new cent_id-partitioned segments
+        # and flips this list atomically; query reads the union with
+        # the same partition pruning
+        "segments": ["vectors.parquet"],
     }
     tmp = os.path.join(index_dir, "INDEX.json.tmp")
     with open(tmp, "w") as f:
         json.dump(meta, f)
     os.replace(tmp, os.path.join(index_dir, "INDEX.json"))
     return meta
+
+
+def add_to_index(spark, emb, index_dir: str) -> dict:
+    """Append a batch of new vectors WITHOUT retraining: assign them
+    to the existing centroids, write one new cent_id-partitioned
+    segment, and flip INDEX.json atomically (a crashed add leaves the
+    committed index unchanged; the re-run overwrites the same
+    uncommitted segment dir — idempotent). Centroids drift is the
+    operator's trade: rebuild when the corpus distribution moves."""
+    import pyspark.sql.functions as F
+
+    from pyspider_spark.ops.ann import ivf_assign
+
+    with open(os.path.join(index_dir, "INDEX.json")) as f:
+        meta = json.load(f)
+    cents = load_centroids(spark, index_dir)
+    segments = list(meta.get("segments", ["vectors.parquet"]))
+    seg = f"add_{len(segments):06d}.parquet"
+    assigned = ivf_assign(spark, emb, cents).select("vec_id", "cent_id")
+    (
+        emb.select("vec_id", "embedding")
+        .join(assigned, "vec_id")
+        .repartition(F.col("cent_id"))
+        .write.mode("overwrite")
+        .partitionBy("cent_id")
+        .parquet(os.path.join(index_dir, seg))
+    )
+    n_new = int(emb.count())
+    meta["segments"] = segments + [seg]
+    meta["n_vectors"] = int(meta["n_vectors"]) + n_new
+    tmp = os.path.join(index_dir, "INDEX.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(index_dir, "INDEX.json"))
+    return {"segment": seg, "added": n_new, **meta}
 
 
 def load_centroids(spark, index_dir: str):
@@ -124,9 +164,17 @@ def query_index(spark, index_dir: str, queries, k: int = 10, nprobe: int = 4):
         )
     order = np.argsort(-(qmat @ _normalize(cents.astype(np.float64)).T), axis=1, kind="stable")
     probed = sorted({int(c) for row in order[:, :nprobe] for c in row})
-    scan = spark.read.parquet(os.path.join(index_dir, "vectors.parquet")).filter(
-        F.col("cent_id").isin(probed)  # partition-pruned: only probed lists read
-    )
+    # one partitioned read per segment (multi-root partition discovery
+    # conflicts), each pruned to the probed lists, unioned
+    scans = [
+        spark.read.parquet(os.path.join(index_dir, s)).filter(
+            F.col("cent_id").isin(probed)  # partition-pruned per segment
+        )
+        for s in meta.get("segments", ["vectors.parquet"])
+    ]
+    scan = scans[0]
+    for s in scans[1:]:
+        scan = scan.unionByName(s)
     return ann_topk(spark, scan, queries, k=k, centroids=cents, nprobe=nprobe)
 
 
@@ -139,6 +187,10 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--centroids", type=int, default=16)
     b.add_argument("--iters", type=int, default=5)
     b.add_argument("--cores", type=int, default=None)
+    a = sub.add_parser("add")
+    a.add_argument("--embeddings", required=True)
+    a.add_argument("--index", required=True)
+    a.add_argument("--cores", type=int, default=None)
     q = sub.add_parser("query")
     q.add_argument("--index", required=True)
     q.add_argument("--queries", required=True, help="parquet with (query_id, embedding)")
@@ -157,6 +209,11 @@ def main(argv: list[str] | None = None) -> int:
             spark, emb, args.index, n_centroids=args.centroids, n_iters=args.iters
         )
         print(json.dumps({"built": args.index, **meta}))
+        return 0
+    if args.cmd == "add":
+        emb = spark.read.parquet(args.embeddings)
+        out = add_to_index(spark, emb, args.index)
+        print(json.dumps(out))
         return 0
     queries = spark.read.parquet(args.queries)
     res = query_index(spark, args.index, queries, k=args.k, nprobe=args.nprobe)

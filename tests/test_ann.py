@@ -213,3 +213,42 @@ def test_ann_index_persist_and_query(spark, tmp_path):
     )
     plan = scan._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cent_id" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_ann_index_add_segment(spark, tmp_path):
+    """LSM-style index maintenance: `add` assigns a new batch with the
+    STORED centroids, writes one new partitioned segment, and flips
+    INDEX.json atomically; query reads the segment union and returns
+    exactly what a fresh assign over the union would."""
+    import json
+    import os
+
+    import pyspark.sql.functions as F
+
+    from jobs.ann_index import add_to_index, build_index, load_centroids, query_index
+    from pyspider_spark.ops.ann import ann_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") < 400)
+    extra = emb.filter(F.col("vec_id") >= 400).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding", "label"
+    )
+    idx = str(tmp_path / "ivf_lsm")
+    build_index(spark, base, idx, n_centroids=8, n_iters=3)
+    out = add_to_index(spark, extra, idx)
+    assert out["segment"] == "add_000001.parquet" and out["added"] == extra.count()
+    with open(os.path.join(idx, "INDEX.json")) as f:
+        meta = json.load(f)
+    assert meta["segments"] == ["vectors.parquet", "add_000001.parquet"]
+    assert meta["n_vectors"] == base.count() + extra.count()
+
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = load_centroids(spark, idx)
+    union = base.unionByName(extra)
+    via_index = sorted(map(tuple, query_index(spark, idx, queries, k=5, nprobe=3).collect()))
+    direct = sorted(
+        map(tuple, ann_topk(spark, union, queries, k=5, centroids=cents, nprobe=3).collect())
+    )
+    assert via_index == direct and len(via_index) == 10
