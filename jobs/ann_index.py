@@ -26,6 +26,11 @@ row-identical to the unpersisted IVF path (pinned in
 tests/test_ann.py) because rows outside the probed union are masked
 for every query anyway.
 
+``add`` appends a batch as a new LSM-style segment (assigned with the
+STORED centroids — no retrain; rebuild when the distribution drifts);
+the segment list flips atomically with INDEX.json. Single writer per
+index dir, like the crawl manifest and the dedup state.
+
 Reference parity: pyspider has no vector search; this is
 training-data-pipeline surface mandated by the brief (SURVEY §2.11).
 """
