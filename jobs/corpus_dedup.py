@@ -25,7 +25,11 @@ urls not yet in the versioned ``--dedup-state`` are deduped, against
 the persisted keepers' fingerprints (ops/dedup.simhash_incremental);
 the state advances atomically (STATE.json os.replace) and a crashed
 run re-runs idempotently. O(batch) per round instead of re-deduping
-the whole corpus.
+the whole corpus — including the state WRITE: version dirs hold
+per-batch deltas, reads union the live dirs (merge-on-read, the
+frontier pattern — rows are append-only so no resolve), and a
+geometric fold (when deltas outgrow the base) keeps read
+amplification bounded at amortized O(1) write cost per row.
 """
 
 from __future__ import annotations
@@ -102,20 +106,52 @@ def keep_table(spark, results, pages=None):
     )
 
 
+_KEEP_SCHEMA = "url string, dup_of string, is_canonical boolean"
+_FPS_SCHEMA = "doc_id string, simhash long"
+# fold when the accumulated deltas outgrow the base (corpus roughly
+# doubled since the last fold — the geometric policy that makes fold
+# cost amortized O(1) per row, the frontier-MoR argument) or when the
+# live-dir count alone threatens read amplification
+_FOLD_MIN_DIRS = 3
+_MAX_DELTA_DIRS = 64
+
+
+def _read_meta(state_dir):
+    p = os.path.join(state_dir, "STATE.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        meta = json.load(f)
+    if "live" not in meta:
+        # pre-delta layout: the latest version dir held the full state
+        meta["live"] = [f"v{int(meta['version']):06d}"]
+    return meta
+
+
+def _union_dirs(spark, state_dir, live, name, schema):
+    """Merge-on-read over the live state dirs (base fold + per-batch
+    deltas). Keep/fps rows are append-only — a keeper assignment never
+    changes — so the union IS the state, no resolve step needed.
+    Explicit schema: a delta whose batch produced no keepers is a
+    legal empty dir."""
+    if not live:
+        return None
+    return spark.read.schema(schema).parquet(
+        *[os.path.join(state_dir, d, name) for d in live]
+    )
+
+
 def _read_state(spark, state_dir):
     """Current dedup-state version:
     (version, keep_df|None, fps_df|None, processed result-dir rels)."""
-    p = os.path.join(state_dir, "STATE.json")
-    if not os.path.exists(p):
+    meta = _read_meta(state_dir)
+    if meta is None:
         return 0, None, None, []
-    with open(p) as f:
-        meta = json.load(f)
-    v = int(meta["version"])
-    vd = os.path.join(state_dir, f"v{v:06d}")
+    live = list(meta["live"])
     return (
-        v,
-        spark.read.parquet(os.path.join(vd, "keep.parquet")),
-        spark.read.parquet(os.path.join(vd, "fps.parquet")),
+        int(meta["version"]),
+        _union_dirs(spark, state_dir, live, "keep.parquet", _KEEP_SCHEMA),
+        _union_dirs(spark, state_dir, live, "fps.parquet", _FPS_SCHEMA),
         list(meta.get("processed", [])),
     )
 
@@ -139,13 +175,33 @@ def incremental_keep(
     urls rare; a changed page that must be re-deduped is a delete +
     re-add on the state, out of scope for the batch path). Single
     writer per state dir, like the crawl's manifest — run it as the
-    per-round post-pass, not concurrently with itself."""
+    per-round post-pass, not concurrently with itself.
+
+    State writes are O(batch) too: each version dir holds only the
+    batch's keep/fps DELTA and reads union the live dirs
+    (merge-on-read; rows are append-only so no resolve is needed).
+    When accumulated deltas outgrow the base — the corpus roughly
+    doubled — the write folds everything into one dir (amortized O(1)
+    per row); superseded dirs are GC'd after the atomic commit."""
+    import shutil
+
     import pyspark.sql.functions as F
 
     from pyspider_spark.ops.dedup import simhash_incremental
 
     os.makedirs(state_dir, exist_ok=True)
-    v, keep_old, fps_old, processed = _read_state(spark, state_dir)
+    meta = _read_meta(state_dir) or {
+        "version": 0,
+        "processed": [],
+        "live": [],
+        "base_rows": 0,
+        "delta_rows": 0,
+    }
+    v = int(meta["version"])
+    live = list(meta["live"])
+    processed = list(meta.get("processed", []))
+    keep_old = _union_dirs(spark, state_dir, live, "keep.parquet", _KEEP_SCHEMA)
+    fps_old = _union_dirs(spark, state_dir, live, "fps.parquet", _FPS_SCHEMA)
     fps_all = _latest_fps(spark, results, pages)
     batch = (
         fps_all
@@ -176,16 +232,38 @@ def incremental_keep(
         "doc_id",
         "left_semi",
     )
-    vd = os.path.join(state_dir, f"v{v + 1:06d}")
-    keep_all = keep_new if keep_old is None else keep_old.unionByName(keep_new)
-    fps_all_state = new_keeper_fps if fps_old is None else fps_old.unionByName(new_keeper_fps)
-    keep_all.write.mode("overwrite").parquet(os.path.join(vd, "keep.parquet"))
-    fps_all_state.write.mode("overwrite").parquet(os.path.join(vd, "fps.parquet"))
+    base_rows = int(meta.get("base_rows", 0))
+    delta_rows = int(meta.get("delta_rows", 0))
+    new_live = live
+    if n_batch:
+        d = f"v{v + 1:06d}"
+        vd = os.path.join(state_dir, d)
+        fold = not live or (
+            len(live) >= _FOLD_MIN_DIRS and delta_rows + n_batch > base_rows
+        ) or len(live) >= _MAX_DELTA_DIRS
+        if fold:
+            keep_w = keep_new if keep_old is None else keep_old.unionByName(keep_new)
+            fps_w = (
+                new_keeper_fps
+                if fps_old is None
+                else fps_old.unionByName(new_keeper_fps)
+            )
+            new_live = [d]
+            base_rows, delta_rows = base_rows + delta_rows + n_batch, 0
+        else:
+            keep_w, fps_w = keep_new, new_keeper_fps
+            new_live = live + [d]
+            delta_rows += n_batch
+        keep_w.write.mode("overwrite").parquet(os.path.join(vd, "keep.parquet"))
+        fps_w.write.mode("overwrite").parquet(os.path.join(vd, "fps.parquet"))
     tmp = os.path.join(state_dir, "STATE.json.tmp")
     with open(tmp, "w") as f:
         json.dump(
             {
                 "version": v + 1,
+                "live": new_live,
+                "base_rows": base_rows,
+                "delta_rows": delta_rows,
                 # result dirs folded into this state: the caller passes
                 # each manifest results dir ONCE, so every run scans
                 # only the new rounds' tables — O(batch) including the
@@ -196,6 +274,17 @@ def incremental_keep(
             f,
         )
     os.replace(tmp, os.path.join(state_dir, "STATE.json"))
+    # GC superseded dirs (only after the atomic commit; single-writer
+    # contract makes this safe — no concurrent reader holds them)
+    keep_set = set(new_live)
+    for name in os.listdir(state_dir):
+        if (
+            name.startswith("v")
+            and name[1:].isdigit()
+            and int(name[1:]) <= v + 1
+            and name not in keep_set
+        ):
+            shutil.rmtree(os.path.join(state_dir, name), ignore_errors=True)
     keep_new.unpersist()
     return keep_new, n_batch, n_dup
 

@@ -2031,6 +2031,45 @@ def q_corpus_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "token_count", "lang", "quality", "shard")
 
 
+# Token-budget shard packing oracle: global exclusive prefix sum of
+# token counts over doc_id order, integer-divided by the budget — the
+# "concat and chunk" block-packing semantic (a doc belongs to the
+# shard where it starts). The engine computes the same prefix sum as
+# a two-level bucket reduction (ops/packing.pack_shards) so no
+# single-partition window exists; the oracle can afford the plain
+# global window at sf0.01.
+ORACLE_CORPUS_PACK = f"""
+WITH {_tok_cte("duck")},
+tc AS (
+  SELECT doc_id, CAST(coalesce(len(toks), 0) AS BIGINT) AS token_count
+  FROM tok
+),
+pre AS (
+  SELECT doc_id, token_count,
+    coalesce(sum(token_count) OVER (
+      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ), 0) AS p
+  FROM tc
+)
+SELECT doc_id, token_count, CAST(p // 2048 AS BIGINT) AS shard_id FROM pre
+"""
+
+
+def q_corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget packing ENGINE op (ops/packing.pack_shards):
+    documents in doc_id order are cut into 2048-token shards via the
+    distributed two-level prefix sum; token counts come from the same
+    dual-dialect tokenizer the text gates pin."""
+    from pyspider_spark.ops.packing import pack_shards
+
+    register_views(spark, sf_dir)
+    tc = spark.sql(
+        f"WITH {_tok_cte('spark')} SELECT doc_id, "
+        "CAST(coalesce(size(toks), 0) AS BIGINT) AS token_count FROM tok"
+    )
+    return pack_shards(spark, tc, budget=2048, n_buckets=64)
+
+
 def _ann_queries(spark: SparkSession) -> DataFrame:
     return (
         spark.table("embeddings")
@@ -2786,6 +2825,7 @@ CUSTOM: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     "dedup_simhash_pairs64": (q_simhash_near_dup64, ORACLE_SIMHASH_PAIRS64),
     "dedup_simhash_incremental": (q_simhash_incremental, ORACLE_SIMHASH_INCREMENTAL),
     "corpus_export_shards": (q_corpus_export, ORACLE_CORPUS_EXPORT),
+    "corpus_pack": (q_corpus_pack, ORACLE_CORPUS_PACK),
     "sim_ann_topk": (q_ann_topk, ORACLE_ANN_TOPK),
     "sim_ann_topk_ivf": (q_ann_topk_ivf, ORACLE_ANN_TOPK),
     "crawl_bloom_seen": (q_bloom_seen, ORACLE_BLOOM_SEEN),

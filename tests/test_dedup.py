@@ -538,3 +538,55 @@ def test_incremental_keep_job_state_evolution(spark, tmp_path):
     assert (n3, d3) == (0, 0)
     v3, keep3, _, p3 = _read_state(spark, sd)
     assert v3 == 3 and keep3.count() == 5 and p3 == ["rounds/r2"]
+
+
+def test_incremental_keep_state_writes_are_delta_sized_then_fold(spark, tmp_path):
+    """The versioned state is LSM-style: each batch writes ONLY its
+    own keep/fps rows (O(batch), never O(corpus)); reads union the
+    live dirs; when accumulated deltas outgrow the base the write
+    folds to one dir (geometric ⇒ amortized O(1) per row) and
+    superseded dirs are GC'd."""
+    import json as _json
+    import os
+
+    from jobs.corpus_dedup import _read_meta, _read_state, incremental_keep
+
+    sd = str(tmp_path / "dstate")
+    schema = "project string, taskid string, url string, result string, updatetime double"
+
+    def batch(urls_fps, t):
+        return spark.createDataFrame(
+            [("p0", "t0", u, _json.dumps({"simhash": fp}), t) for u, fp in urls_fps],
+            schema,
+        )
+
+    # base: 4 distinct fps (well-separated — no dups)
+    incremental_keep(spark, batch([(f"http://h{i}.ex/", 1 << (i * 8)) for i in range(4)], 1.0), sd)
+    m1 = _read_meta(sd)
+    assert m1["live"] == ["v000001"] and (m1["base_rows"], m1["delta_rows"]) == (4, 0)
+
+    # two delta batches of 2: each version dir holds ONLY its batch
+    for k, t in ((4, 2.0), (6, 3.0)):
+        incremental_keep(
+            spark,
+            batch([(f"http://h{i}.ex/", 1 << ((i % 8) * 8) | 3) for i in (k, k + 1)], t),
+            sd,
+        )
+    m3 = _read_meta(sd)
+    assert m3["live"] == ["v000001", "v000002", "v000003"]
+    assert (m3["base_rows"], m3["delta_rows"]) == (4, 4)
+    d3 = spark.read.parquet(os.path.join(sd, "v000003", "keep.parquet"))
+    assert d3.count() == 2  # the O(batch) write, not the 8-row corpus
+
+    # batch 4 tips deltas (4+2) past the base (4) with >= 3 live dirs
+    # -> fold: one live dir, everything readable, old dirs GC'd
+    incremental_keep(
+        spark, batch([(f"http://h{i}.ex/", 1 << ((i % 8) * 8) | 5) for i in (8, 9)], 4.0), sd
+    )
+    m4 = _read_meta(sd)
+    assert m4["live"] == ["v000004"] and (m4["base_rows"], m4["delta_rows"]) == (10, 0)
+    assert sorted(n for n in os.listdir(sd) if n.startswith("v")) == ["v000004"]
+    v, keep, fps, _ = _read_state(spark, sd)
+    assert v == 4 and keep.count() == 10
+    # every url kept exactly once across the folded state
+    assert keep.select("url").distinct().count() == 10
