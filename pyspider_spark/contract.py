@@ -2070,6 +2070,35 @@ def q_corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_shards(spark, tc, budget=2048, n_buckets=64)
 
 
+# Deterministic stratified sampling oracle: the keep decision is a
+# pure function of doc_id (first 8 md5 hex digits as u32 vs an exact
+# integer threshold per language stratum) — the same construction as
+# the export shard ids, so both engines agree bit-for-bit. Thresholds
+# are computed ONCE here and embedded in both sides.
+_SAMPLE_RATES = {"en": 1.0, "de": 0.5, "es": 0.25, "fr": 0.1, "zh": 0.0}
+_SAMPLE_THRESH = {k: int(r * (1 << 32)) for k, r in _SAMPLE_RATES.items()}
+
+ORACLE_CORPUS_SAMPLE = f"""
+SELECT doc_id, lang FROM documents
+WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+  < CASE lang
+      {" ".join(f"WHEN '{k}' THEN {t}" for k, t in _SAMPLE_THRESH.items())}
+      ELSE 0 END
+"""
+
+
+def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified-mixture ENGINE op (ops/sampling.stratified_sample):
+    per-language keep rates applied via the md5(doc_id) deterministic
+    coin — row-identical across runs/partitionings/cluster sizes,
+    which `df.sample()`'s per-task RNG cannot promise."""
+    from pyspider_spark.ops.sampling import stratified_sample
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "lang")
+    return stratified_sample(spark, docs, _SAMPLE_RATES, key_col="lang")
+
+
 def _ann_queries(spark: SparkSession) -> DataFrame:
     return (
         spark.table("embeddings")
@@ -2826,6 +2855,7 @@ CUSTOM: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     "dedup_simhash_incremental": (q_simhash_incremental, ORACLE_SIMHASH_INCREMENTAL),
     "corpus_export_shards": (q_corpus_export, ORACLE_CORPUS_EXPORT),
     "corpus_pack": (q_corpus_pack, ORACLE_CORPUS_PACK),
+    "corpus_sample_stratified": (q_corpus_sample, ORACLE_CORPUS_SAMPLE),
     "sim_ann_topk": (q_ann_topk, ORACLE_ANN_TOPK),
     "sim_ann_topk_ivf": (q_ann_topk_ivf, ORACLE_ANN_TOPK),
     "crawl_bloom_seen": (q_bloom_seen, ORACLE_BLOOM_SEEN),
