@@ -79,9 +79,33 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--shards", type=int, default=16)
     ap.add_argument("--dedup", action="store_true")
     ap.add_argument("--max-hamming", type=int, default=3)
+    ap.add_argument(
+        "--mix",
+        default=None,
+        help="corpus-mixing recipe 'lang=rate,...' (e.g. 'en=1.0,de=0.5'): "
+        "deterministic md5(doc_id)-coin stratified sampling on the "
+        "analyzed lang column (ops/sampling)",
+    )
+    ap.add_argument(
+        "--mix-default",
+        type=float,
+        default=0.0,
+        help="keep rate for langs absent from --mix (default 0)",
+    )
+    ap.add_argument(
+        "--pack-budget",
+        type=int,
+        default=None,
+        help="replace md5 shard ids with token-budget 'concat and "
+        "chunk' packing (ops/packing): shard = the N-token tape block "
+        "where the doc starts; string doc_ids pack in stable md5-hash "
+        "order (which also decorrelates adjacent training docs)",
+    )
     ap.add_argument("--format", default="parquet", choices=["parquet", "json"])
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args(argv)
+
+    import pyspark.sql.functions as F
 
     from pyspider_spark.engine.session import get_spark
     from pyspider_spark.ops.export import export_corpus, write_shards
@@ -103,7 +127,40 @@ def main(argv: list[str] | None = None) -> int:
         n_shards=args.shards,
         dedup=args.dedup,
         max_hamming=args.max_hamming,
-    ).persist()
+    )
+    if args.mix:
+        from pyspider_spark.ops.sampling import stratified_sample
+
+        rates = {
+            k: float(v) for k, v in (kv.split("=") for kv in args.mix.split(","))
+        }
+        out = stratified_sample(
+            spark, out, rates, key_col="lang", default_rate=args.mix_default
+        )
+    if args.pack_budget:
+        from pyspider_spark.ops.packing import pack_shards
+
+        numeric = dict(out.dtypes)["doc_id"] in ("tinyint", "smallint", "int", "bigint")
+        if numeric:
+            pk = out.select("doc_id", "token_count")
+            packed = pack_shards(spark, pk, args.pack_budget).select(
+                "doc_id", F.col("shard_id").alias("shard")
+            )
+        else:
+            # string ids (crawl urls): stable 60-bit md5 key sets the
+            # tape order; the original id breaks hash-collision ties
+            pk = out.select(
+                F.col("doc_id").alias("_orig"),
+                F.conv(F.substring(F.md5("doc_id"), 1, 15), 16, 10)
+                .cast("long")
+                .alias("doc_id"),
+                "token_count",
+            )
+            packed = pack_shards(
+                spark, pk, args.pack_budget, tiebreak_col="_orig"
+            ).select(F.col("_orig").alias("doc_id"), F.col("shard_id").alias("shard"))
+        out = out.drop("shard").join(packed, "doc_id")
+    out = out.persist()
     write_shards(out, args.out, fmt=args.format, n_shards=args.shards)
     n_out = out.count()
     shards = out.groupBy("shard").count().count()

@@ -32,6 +32,7 @@ def pack_shards(
     budget: int,
     n_buckets: int = 1024,
     count_col: str = "token_count",
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """(doc_id, token_count, shard_id) with
 
@@ -40,17 +41,33 @@ def pack_shards(
     over ascending ``doc_id``. NULL counts pack as 0-token documents
     (they sit where the tape stands and never advance it). The result
     is deterministic for a given input set; ``budget`` must be > 0.
+
+    ``tiebreak_col`` (carried through to the output) makes the tape
+    order deterministic when ``doc_id`` values can collide — the
+    string-id case where the caller derives a numeric key by hashing
+    (jobs/corpus_export.py): tied keys order by the tiebreak instead
+    of partition luck.
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
-    base = docs.select(
+    cols = [
         F.col("doc_id").cast("long").alias("doc_id"),
         F.coalesce(F.col(count_col), F.lit(0)).cast("long").alias("_tc"),
-    )
+    ]
+    if tiebreak_col is not None:
+        cols.append(F.col(tiebreak_col))
+    base = docs.select(*cols)
     lo_hi = base.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")).first()
     if lo_hi["lo"] is None:
-        return spark.createDataFrame(
-            [], "doc_id bigint, token_count bigint, shard_id bigint"
+        return (
+            base.withColumnRenamed("_tc", "token_count")
+            .withColumn("shard_id", F.lit(0).cast("long"))
+            .select(
+                "doc_id",
+                "token_count",
+                "shard_id",
+                *([tiebreak_col] if tiebreak_col is not None else []),
+            )
         )
     lo, hi = int(lo_hi["lo"]), int(lo_hi["hi"])
     width = max(1, (hi - lo) // n_buckets + 1)
@@ -69,23 +86,27 @@ def pack_shards(
         acc += totals[k]
     off_df = F.broadcast(spark.createDataFrame(offs, "_bkt long, _off long"))
     # level 2: within-bucket exclusive running sum + the bucket offset
+    order = ["doc_id"] + ([tiebreak_col] if tiebreak_col is not None else [])
     w = (
         Window.partitionBy("_bkt")
-        .orderBy("doc_id")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    out_cols = [
+        F.col("doc_id"),
+        F.col("_tc").alias("token_count"),
+        # exact integer division (floor(double/) would drift past
+        # 2^52 total tokens; 100 TB corpora sit near that)
+        ((F.col("_pre") - F.pmod("_pre", F.lit(budget))) / budget)
+        .cast("long")
+        .alias("shard_id"),
+    ]
+    if tiebreak_col is not None:
+        out_cols.append(F.col(tiebreak_col))
     return (
         b.join(off_df, "_bkt")
         .withColumn(
             "_pre", F.coalesce(F.sum("_tc").over(w), F.lit(0)) + F.col("_off")
         )
-        .select(
-            "doc_id",
-            F.col("_tc").alias("token_count"),
-            # exact integer division (floor(double/) would drift past
-            # 2^52 total tokens; 100 TB corpora sit near that)
-            ((F.col("_pre") - F.pmod("_pre", F.lit(budget))) / budget)
-            .cast("long")
-            .alias("shard_id"),
-        )
+        .select(*out_cols)
     )

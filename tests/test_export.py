@@ -97,3 +97,50 @@ def test_job_cli_end_to_end(tmp_path, spark):
     back = spark.read.parquet(out_dir)
     assert back.filter(F.col("quality") < 0.3).count() == 0
     assert back.count() > 0
+
+
+def test_job_cli_mix_and_pack(tmp_path, spark):
+    """--mix applies the deterministic per-lang keep rates on the
+    ANALYZED lang; --pack-budget replaces md5 shards with the token-
+    tape blocks: every shard's token sum stays under budget + one doc
+    (block semantics), and only the tape's final shard may be light."""
+    import jobs.corpus_export as job
+
+    out_dir = str(tmp_path / "export_mp")
+    budget = 2048
+    rc = job.main(
+        [
+            "--docs",
+            f"{TESTDATA}/documents.parquet",
+            "--out",
+            out_dir,
+            "--mix",
+            "en=1.0",
+            "--pack-budget",
+            str(budget),
+        ]
+    )
+    assert rc == 0
+    back = spark.read.parquet(out_dir)
+    assert back.select("lang").distinct().collect() == [("en",)]
+    rows = sorted(
+        (r["doc_id"], r["token_count"], r["shard"])
+        for r in back.select("doc_id", "token_count", "shard").collect()
+    )
+    assert len({s for _, _, s in rows}) >= 2
+    # exact block semantics: shard == floor(exclusive prefix / budget)
+    # over doc_id order (and a shard never sums past budget + the doc
+    # that starts last in it)
+    pre = 0
+    for _doc, tc, shard in rows:
+        assert shard == pre // budget
+        pre += tc
+    # deterministic: the same invocation reproduces identical shards
+    out2 = str(tmp_path / "export_mp2")
+    assert job.main(
+        ["--docs", f"{TESTDATA}/documents.parquet", "--out", out2,
+         "--mix", "en=1.0", "--pack-budget", str(budget)]
+    ) == 0
+    a = sorted(map(tuple, back.select("doc_id", "shard").collect()))
+    b = sorted(map(tuple, spark.read.parquet(out2).select("doc_id", "shard").collect()))
+    assert a == b
