@@ -347,6 +347,9 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.scaling and args.cluster:
+        if args.scaling_legs:
+            ap.error("--scaling-legs applies to thread-mode --scaling only; "
+                     "the --cluster protocol runs its fixed 1/2/4/8-executor legs")
         return run_scaling_cluster(
             args.sf_dir,
             mult=max(args.pages_mult, 48),
@@ -357,8 +360,13 @@ def main(argv: list[str] | None = None) -> int:
     if args.scaling:
         legs_pair = (8, 32)
         if args.scaling_legs:
-            lo_s, hi_s = args.scaling_legs.split(",")
-            legs_pair = (int(lo_s), int(hi_s))
+            try:
+                lo_s, hi_s = args.scaling_legs.split(",")
+                legs_pair = (int(lo_s), int(hi_s))
+            except ValueError:
+                ap.error(f"--scaling-legs must be 'lo,hi' (two ints), got {args.scaling_legs!r}")
+            if not (0 < legs_pair[0] < legs_pair[1]):
+                ap.error(f"--scaling-legs needs 0 < lo < hi, got {legs_pair}")
         return run_scaling(
             args.sf_dir,
             mult=max(args.pages_mult, 48),

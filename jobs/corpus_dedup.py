@@ -202,6 +202,13 @@ def incremental_keep(
     processed = list(meta.get("processed", []))
     keep_old = _union_dirs(spark, state_dir, live, "keep.parquet", _KEEP_SCHEMA)
     fps_old = _union_dirs(spark, state_dir, live, "fps.parquet", _FPS_SCHEMA)
+    if live and "base_rows" not in meta:
+        # migrating a pre-delta layout: without real counts the fold
+        # heuristic would see base_rows=0 and rewrite the full corpus
+        # every few batches forever — count the inherited state ONCE
+        # (persisted below, so this never repeats)
+        meta["base_rows"] = keep_old.count()
+        meta["delta_rows"] = 0
     fps_all = _latest_fps(spark, results, pages)
     batch = (
         fps_all

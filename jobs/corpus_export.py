@@ -127,7 +127,10 @@ def main(argv: list[str] | None = None) -> int:
         n_shards=args.shards,
         dedup=args.dedup,
         max_hamming=args.max_hamming,
-    )
+    ).persist()  # pack_shards runs bounded aggs over this lineage and
+    # write_shards scans it again — persist BEFORE the fan-out or the
+    # full Arrow analyze pass re-executes per action
+    exported = out  # the persisted handle (out is rebound below)
     if args.mix:
         from pyspider_spark.ops.sampling import stratified_sample
 
@@ -141,15 +144,19 @@ def main(argv: list[str] | None = None) -> int:
         from pyspider_spark.ops.packing import pack_shards
 
         numeric = dict(out.dtypes)["doc_id"] in ("tinyint", "smallint", "int", "bigint")
+        # one tape slot per distinct doc_id: a duplicated id is one
+        # document (the md5-shard path was row-independent, but an
+        # inner join back on a duplicated key would emit k×k rows —
+        # silent corpus corruption)
+        uniq = out.groupBy("doc_id").agg(F.max("token_count").alias("token_count"))
         if numeric:
-            pk = out.select("doc_id", "token_count")
-            packed = pack_shards(spark, pk, args.pack_budget).select(
+            packed = pack_shards(spark, uniq, args.pack_budget).select(
                 "doc_id", F.col("shard_id").alias("shard")
             )
         else:
             # string ids (crawl urls): stable 60-bit md5 key sets the
             # tape order; the original id breaks hash-collision ties
-            pk = out.select(
+            pk = uniq.select(
                 F.col("doc_id").alias("_orig"),
                 F.conv(F.substring(F.md5("doc_id"), 1, 15), 16, 10)
                 .cast("long")
@@ -160,11 +167,10 @@ def main(argv: list[str] | None = None) -> int:
                 spark, pk, args.pack_budget, tiebreak_col="_orig"
             ).select(F.col("_orig").alias("doc_id"), F.col("shard_id").alias("shard"))
         out = out.drop("shard").join(packed, "doc_id")
-    out = out.persist()
     write_shards(out, args.out, fmt=args.format, n_shards=args.shards)
     n_out = out.count()
     shards = out.groupBy("shard").count().count()
-    out.unpersist()
+    exported.unpersist()
     print(
         json.dumps(
             {

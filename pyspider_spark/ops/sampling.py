@@ -31,10 +31,14 @@ _HASH_SPACE = 1 << 32
 def _u32_expr(id_col: str):
     """First 8 md5 hex digits of the id as an integer in [0, 2^32) —
     the deterministic uniform coin (same construction as the export
-    shard ids and the contract's _md5_half)."""
-    return F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
-        "long"
-    )
+    shard ids and the contract's _md5_half). NULL ids share the
+    md5('') coin instead of vanishing (md5(NULL) is NULL and a NULL
+    comparison would silently drop the row from every stratum)."""
+    return F.conv(
+        F.substring(F.md5(F.coalesce(F.col(id_col).cast("string"), F.lit(""))), 1, 8),
+        16,
+        10,
+    ).cast("long")
 
 
 def stratified_sample(

@@ -590,3 +590,37 @@ def test_incremental_keep_state_writes_are_delta_sized_then_fold(spark, tmp_path
     assert v == 4 and keep.count() == 10
     # every url kept exactly once across the folded state
     assert keep.select("url").distinct().count() == 10
+
+
+def test_incremental_keep_migrates_pre_delta_layout(spark, tmp_path):
+    """A pre-delta STATE.json (no live/base_rows) must migrate with
+    REAL row counts: without them the fold heuristic sees base_rows=0
+    and rewrites the full corpus every few batches forever."""
+    import json as _json
+    import os
+
+    from jobs.corpus_dedup import _read_meta, incremental_keep
+
+    sd = str(tmp_path / "dstate")
+    os.makedirs(os.path.join(sd, "v000001"))
+    spark.createDataFrame(
+        [(f"http://h{i}.ex/", f"http://h{i}.ex/", True) for i in range(6)],
+        "url string, dup_of string, is_canonical boolean",
+    ).write.parquet(os.path.join(sd, "v000001", "keep.parquet"))
+    spark.createDataFrame(
+        [(f"http://h{i}.ex/", 1 << (i * 8)) for i in range(6)],
+        "doc_id string, simhash long",
+    ).write.parquet(os.path.join(sd, "v000001", "fps.parquet"))
+    with open(os.path.join(sd, "STATE.json"), "w") as f:
+        _json.dump({"version": 1, "processed": []}, f)  # old layout
+
+    batch = spark.createDataFrame(
+        [("p0", "t0", "http://new.ex/", _json.dumps({"simhash": 3}), 1.0)],
+        "project string, taskid string, url string, result string, updatetime double",
+    )
+    _, n, _ = incremental_keep(spark, batch, sd)
+    assert n == 1
+    m = _read_meta(sd)
+    # inherited corpus counted once; the batch wrote a DELTA dir
+    assert m["base_rows"] == 6 and m["delta_rows"] == 1
+    assert m["live"] == ["v000001", "v000002"]

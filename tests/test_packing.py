@@ -70,3 +70,29 @@ def test_pack_window_is_bucket_partitioned(spark):
     )
     assert "windowspecdefinition(_bkt" in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_pack_skewed_ids_still_bucket_bounded_and_correct(spark):
+    """A snowflake-scale outlier id must not collapse the value-range
+    buckets into one global window: the refinement re-splits the hot
+    level-1 bucket over its own [min, max] span, and the packing
+    output still matches the reference exactly."""
+    from pyspider_spark.ops.packing import _refined_buckets
+
+    rows = [(i, 10) for i in range(2000)] + [(1 << 61, 7)]
+    df = spark.createDataFrame(rows, "doc_id long, token_count long")
+    got = {
+        r["doc_id"]: (r["token_count"], r["shard_id"])
+        for r in pack_shards(spark, df, budget=128, n_buckets=16).collect()
+    }
+    assert got == _ref_pack(rows, 128)
+    # the bound itself: no refined bucket holds more than ~2x the
+    # target rows (2001/16 ≈ 125)
+    base = df.selectExpr("doc_id", "token_count as _tc")
+    counts = (
+        _refined_buckets(spark, base, 0, 1 << 61, 16)
+        .groupBy("_bkt")
+        .count()
+        .collect()
+    )
+    assert max(r["count"] for r in counts) <= 2 * (2001 // 16 + 1)

@@ -79,3 +79,13 @@ def test_sample_plan_has_no_shuffle(spark):
     )
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan
+
+
+def test_sample_null_id_keeps_rate_semantics(spark):
+    """md5(NULL) is NULL — without the coalesced coin a NULL doc_id
+    would be silently dropped from every stratum, even at rate 1.0."""
+    df = spark.createDataFrame(
+        [(None, "en"), (1, "en")], "doc_id long, lang string"
+    )
+    kept = stratified_sample(spark, df, {"en": 1.0}).count()
+    assert kept == 2
