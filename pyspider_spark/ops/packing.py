@@ -100,6 +100,12 @@ def pack_shards(
     string-id case where the caller derives a numeric key by hashing
     (jobs/corpus_export.py): tied keys order by the tiebreak instead
     of partition luck.
+
+    Id-range caveat: bucket math subtracts ``lo`` in long arithmetic,
+    so an id set spanning more than the full signed-64 range minus
+    one bucket width (i.e. ids at BOTH LONG_MIN and LONG_MAX scale —
+    no real id scheme does this) would wrap; md5-derived keys (60-bit,
+    non-negative) and every snowflake/epoch scheme are fine.
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
